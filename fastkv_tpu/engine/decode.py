@@ -1,0 +1,144 @@
+"""Decode: single-token step over the compressed cache + greedy generation loop.
+
+The reference decodes through HF `GenerationMixin.generate` with a patched
+`prepare_inputs_for_generation` (baselines/monkeypatch.py:249-330) because the
+compressed cache is shorter than the prompt; decode positions continue from the
+*original* prompt length (position_ids = attention_mask.cumsum(-1) - 1 over the
+full-length mask, monkeypatch.py:283-289). Here that is explicit: decode token t
+has position n_true + t, appended at the static cache slot prefill_capacity + t
+(no dynamic append indices — see fastkv_tpu.cache.kv_cache).
+
+Generation runs as `lax.scan` over steps with the cache as carry — one compiled
+program for the whole decode phase; per-token latency benchmarks instead jit a
+single step and loop in Python (mirroring the reference's per-step CUDA-event
+timing, benchmark/e2e.py:172-180).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from fastkv_tpu.cache.kv_cache import KVCache
+from fastkv_tpu.core.config import EngineConfig, Method, MethodConfig, ModelConfig
+from fastkv_tpu.engine.prefill import PrefillShapes
+from fastkv_tpu.models import llama
+from fastkv_tpu.models.rope import compute_inv_freq
+from fastkv_tpu.ops import attention as att
+
+
+def decode_step(
+    params: Dict[str, Any],
+    cfg: ModelConfig,
+    mcfg: MethodConfig,
+    cache: KVCache,
+    token: jnp.ndarray,  # [b] int32
+    pos: jnp.ndarray,  # [b] int32 — original position of this token
+    slot: jnp.ndarray,  # scalar int32 — static-per-step cache slot to write
+) -> Tuple[jnp.ndarray, KVCache]:
+    """One decode step. Returns (logits [b, V] fp32, updated cache)."""
+    inv_freq = jnp.asarray(compute_inv_freq(cfg))
+    b = token.shape[0]
+    h = llama.embed(params, cfg, token[:, None])  # [b, 1, D]
+    ch = cache.k.shape[2]
+    g_rep = ch // cfg.num_kv_heads  # 1, or groups for per-query-head caches
+
+    def body(carry, xs):
+        h = carry
+        lp, k_l, v_l, pos_l, valid_l = xs
+        hn = llama.rms_norm(h, lp["ln_attn"], cfg.rms_norm_eps)
+        q, k_new, v_new = llama.qkv_proj(lp, cfg, hn)  # q [b,H,1,d]
+        q, k_new = llama.rope_qk(q, k_new, pos[:, None], inv_freq)
+        if g_rep > 1:  # reference repeats kv before caching (snapkv/h2o)
+            k_new = jnp.repeat(k_new, g_rep, axis=1)
+            v_new = jnp.repeat(v_new, g_rep, axis=1)
+        zero = jnp.zeros((), jnp.int32)
+        k_l = jax.lax.dynamic_update_slice(k_l, k_new.astype(k_l.dtype), (zero, zero, slot, zero))
+        v_l = jax.lax.dynamic_update_slice(v_l, v_new.astype(v_l.dtype), (zero, zero, slot, zero))
+        pos_l = jax.lax.dynamic_update_slice(
+            pos_l, jnp.broadcast_to(pos[:, None, None], (b, ch, 1)).astype(jnp.int32), (zero, zero, slot)
+        )
+        valid_l = jax.lax.dynamic_update_slice(
+            valid_l, jnp.ones((b, ch, 1), bool), (zero, zero, slot)
+        )
+        attn = att.decode_attention(
+            q, k_l, v_l, valid_l,
+            q_pos=pos, k_pos=pos_l, sliding_window=cfg.sliding_window,
+        )
+        h = h + llama.attn_out_proj(lp, attn)
+        h = h + llama.mlp(lp, llama.rms_norm(h, lp["ln_mlp"], cfg.rms_norm_eps))
+        return h, (k_l, v_l, pos_l, valid_l)
+
+    h, new_layers = jax.lax.scan(
+        body, h, (params["layers"], cache.k, cache.v, cache.pos, cache.valid)
+    )
+    new_cache = KVCache(k=new_layers[0], v=new_layers[1], pos=new_layers[2], valid=new_layers[3])
+    logits = llama.unembed(params, cfg, h)[:, 0, :]
+    return logits, new_cache
+
+
+class GenResult(NamedTuple):
+    tokens: jnp.ndarray  # [b, max_new] int32 (pad_id after EOS)
+    num_generated: jnp.ndarray  # [b] int32
+
+
+def greedy_generate(
+    params: Dict[str, Any],
+    cfg: ModelConfig,
+    mcfg: MethodConfig,
+    shapes: PrefillShapes,
+    first_logits: jnp.ndarray,  # [b, V] from prefill
+    cache: KVCache,
+    n_true: jnp.ndarray,  # [b] original prompt lengths
+    max_new_tokens: int,
+    eos_ids: Optional[jnp.ndarray] = None,  # [E] int32 or None
+    min_new_tokens: int = 1,
+) -> Tuple[GenResult, KVCache]:
+    """Greedy decoding as a lax.scan over steps (cache as carry).
+
+    Matches the reference protocol: greedy, max_new_tokens per task,
+    min_length = context + 1 (i.e. at least one new token; eval/run_longbench.py:
+    217-226). Tokens after EOS are pad (0) and excluded from num_generated.
+    """
+    b = first_logits.shape[0]
+    vocab = first_logits.shape[-1]
+    eos_onehot = (
+        jnp.isin(jnp.arange(vocab), eos_ids) if eos_ids is not None else None
+    )
+
+    def sample(logits, step):
+        """Greedy pick; EOS suppressed while step < min_new_tokens."""
+        if eos_onehot is not None and min_new_tokens > 0:
+            logits = jnp.where(
+                (step < min_new_tokens) & eos_onehot[None, :], -jnp.inf, logits
+            )
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    def is_eos(tok):
+        if eos_ids is None:
+            return jnp.zeros_like(tok, dtype=bool)
+        return jnp.isin(tok, eos_ids)
+
+    tok0 = sample(first_logits, 0)
+    done0 = is_eos(tok0)
+
+    def body(carry, step):
+        cache, tok, done = carry
+        pos = n_true + step  # original-position continuation
+        slot = shapes.prefill_capacity + step
+        logits, cache = decode_step(params, cfg, mcfg, cache, tok, pos, slot)
+        nxt = jnp.where(done, 0, sample(logits, step + 1))
+        new_done = done | is_eos(nxt)
+        return (cache, nxt, new_done), (nxt, done)
+
+    steps = jnp.arange(max_new_tokens - 1, dtype=jnp.int32)
+    (cache, _, _), (rest, done_before) = jax.lax.scan(
+        body, (cache, tok0, done0), steps
+    )
+    toks = jnp.concatenate([tok0[:, None], rest.T], axis=1)  # [b, max_new]
+    alive = jnp.concatenate([jnp.ones((b, 1), bool), ~done_before.T], axis=1)
+    toks = jnp.where(alive, toks, 0)
+    num = jnp.sum(alive, axis=1).astype(jnp.int32)
+    return GenResult(tokens=toks, num_generated=num), cache

@@ -1,0 +1,101 @@
+"""High-level Engine: bucketing, jit caching, tokenizer-agnostic generation.
+
+Replaces the reference's HF `model.generate()` entry point
+(eval/run_longbench.py:217-226) with jitted prefill + scanned decode. The jit
+cache is keyed on (bucket, method, max_new) so evaluation sweeps compile a small
+closed set of programs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fastkv_tpu.core.config import EngineConfig, Method, MethodConfig, ModelConfig, pick_bucket
+from fastkv_tpu.engine import decode as decode_mod
+from fastkv_tpu.engine import prefill as prefill_mod
+
+
+class Engine:
+    def __init__(
+        self,
+        params: Dict[str, Any],
+        cfg: ModelConfig,
+        mcfg: MethodConfig,
+        ecfg: Optional[EngineConfig] = None,
+    ):
+        self.params = params
+        self.cfg = cfg
+        self.mcfg = mcfg
+        self.ecfg = ecfg or EngineConfig()
+        self._prefill_cache: Dict[Tuple, Any] = {}
+        self._gen_cache: Dict[Tuple, Any] = {}
+
+    # -- compiled-program factories -------------------------------------------------
+
+    def shapes_for(self, bucket: int, max_new: int) -> prefill_mod.PrefillShapes:
+        ecfg = dataclasses.replace(self.ecfg, max_new_tokens=max_new)
+        return prefill_mod.plan_shapes(self.cfg, self.mcfg, ecfg, bucket)
+
+    def prefill_fn(self, bucket: int, max_new: int):
+        key = (bucket, max_new)
+        if key not in self._prefill_cache:
+            shapes = self.shapes_for(bucket, max_new)
+
+            def run(params, tokens, n_true):
+                return prefill_mod.prefill(
+                    params, self.cfg, self.mcfg, self.ecfg, shapes, tokens, n_true
+                )
+
+            self._prefill_cache[key] = jax.jit(run)
+        return self._prefill_cache[key]
+
+    def generate_fn(self, bucket: int, max_new: int, num_eos: int, min_new: int):
+        key = (bucket, max_new, num_eos, min_new)
+        if key not in self._gen_cache:
+            shapes = self.shapes_for(bucket, max_new)
+
+            def run(params, first_logits, cache, n_true, eos_ids):
+                return decode_mod.greedy_generate(
+                    params, self.cfg, self.mcfg, shapes, first_logits, cache,
+                    n_true, max_new, eos_ids if num_eos else None, min_new,
+                )
+
+            self._gen_cache[key] = jax.jit(run)
+        return self._gen_cache[key]
+
+    # -- user API --------------------------------------------------------------------
+
+    def generate(
+        self,
+        input_ids: Sequence[Sequence[int]],
+        max_new_tokens: int,
+        eos_ids: Sequence[int] = (),
+        min_new_tokens: int = 1,
+    ) -> List[List[int]]:
+        """Greedy generation. Returns generated token ids per example
+        (EOS included if produced)."""
+        b = len(input_ids)
+        lens = [len(x) for x in input_ids]
+        bucket = pick_bucket(max(lens), self.ecfg.prefill_buckets)
+        tokens = np.zeros((b, bucket), np.int32)
+        for i, ids in enumerate(input_ids):
+            tokens[i, : lens[i]] = np.asarray(ids, np.int32)
+        n_true = jnp.asarray(lens, jnp.int32)
+        tokens = jnp.asarray(tokens)
+
+        logits, cache = self.prefill_fn(bucket, max_new_tokens)(
+            self.params, tokens, n_true
+        )
+        eos_arr = jnp.asarray(list(eos_ids) or [0], jnp.int32)
+        result, _ = self.generate_fn(
+            bucket, max_new_tokens, len(eos_ids), min_new_tokens
+        )(self.params, logits, cache, n_true, eos_arr)
+        toks = np.asarray(result.tokens)
+        nums = np.asarray(result.num_generated)
+        return [toks[i, : nums[i]].tolist() for i in range(b)]

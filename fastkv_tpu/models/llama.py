@@ -1,0 +1,190 @@
+"""Llama/Mistral model family as pure-functional JAX pytrees.
+
+Design (TPU-first, not a port):
+  * Parameters are *stacked across layers* — every per-layer weight is one array
+    with a leading [num_layers] axis, so the decoder runs as `lax.scan` over
+    layers: O(1) trace/compile time in depth (80-layer 70B compiles as fast as
+    the 16-layer 1B) and XLA sees one fused layer body.
+  * All shape-changing behavior (TSP gather, compression) lives OUTSIDE the layer
+    body in the engine; the layer body is shape-static.
+  * Weights live in bf16 (configurable); norms/softmax/rope run fp32.
+
+Covers the reference model matrix: Llama-3.1/3.2 (GQA, llama3 rope scaling) and
+Mistral/Ministral (GQA, optional sliding window) — reference:
+baselines/fastkv/llama_model.py, baselines/fastkv/mistral_model.py. The two
+families differ only in config values here (one code path), where the reference
+maintains two parallel patched-model files per method.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fastkv_tpu.core.config import ModelConfig
+from fastkv_tpu.models.rope import apply_rope, compute_inv_freq, rope_cos_sin
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# Parameter construction / import
+# ---------------------------------------------------------------------------
+
+def param_shapes(cfg: ModelConfig) -> Dict[str, Tuple[int, ...]]:
+    L, D, F = cfg.num_layers, cfg.hidden_size, cfg.intermediate_size
+    H, KH, dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    shapes = {
+        "embed": (cfg.vocab_size, D),
+        "final_norm": (D,),
+        "layers.wq": (L, D, H * dh),
+        "layers.wk": (L, D, KH * dh),
+        "layers.wv": (L, D, KH * dh),
+        "layers.wo": (L, H * dh, D),
+        "layers.w_gate": (L, D, F),
+        "layers.w_up": (L, D, F),
+        "layers.w_down": (L, F, D),
+        "layers.ln_attn": (L, D),
+        "layers.ln_mlp": (L, D),
+    }
+    if not cfg.tie_word_embeddings:
+        shapes["lm_head"] = (D, cfg.vocab_size)
+    return shapes
+
+
+def _unflatten(flat: Dict[str, jnp.ndarray]) -> Params:
+    params: Params = {"layers": {}}
+    for k, v in flat.items():
+        if k.startswith("layers."):
+            params["layers"][k[len("layers.") :]] = v
+        else:
+            params[k] = v
+    return params
+
+
+def init_params(cfg: ModelConfig, seed: int = 0) -> Params:
+    """Random-normal init (for tests/benchmarks; real weights come from HF)."""
+    rng = np.random.default_rng(seed)
+    dtype = jnp.dtype(cfg.dtype)
+    flat = {}
+    for k, shp in param_shapes(cfg).items():
+        if k.endswith("norm") or "ln_" in k:
+            arr = np.ones(shp, np.float32)
+        else:
+            arr = (rng.standard_normal(shp) * 0.02).astype(np.float32)
+        flat[k] = jnp.asarray(arr, dtype=dtype if arr.ndim > 1 else jnp.float32)
+    return _unflatten(flat)
+
+
+def params_from_hf_state_dict(cfg: ModelConfig, sd, dtype=None) -> Params:
+    """Convert a HuggingFace Llama/Mistral state dict (name -> numpy array).
+
+    HF nn.Linear stores [out, in]; we store [in, out] so forward is x @ W.
+    """
+    dtype = jnp.dtype(dtype or cfg.dtype)
+    L = cfg.num_layers
+
+    def get(name):
+        t = sd[name]
+        if hasattr(t, "detach"):
+            t = t.detach().to("cpu").float().numpy()
+        return np.asarray(t, np.float32)
+
+    def stack_linear(fmt):
+        return jnp.asarray(
+            np.stack([get(fmt.format(i)).T for i in range(L)]), dtype=dtype
+        )
+
+    def stack_norm(fmt):
+        return jnp.asarray(
+            np.stack([get(fmt.format(i)) for i in range(L)]), dtype=jnp.float32
+        )
+
+    flat = {
+        "embed": jnp.asarray(get("model.embed_tokens.weight"), dtype=dtype),
+        "final_norm": jnp.asarray(get("model.norm.weight"), dtype=jnp.float32),
+        "layers.wq": stack_linear("model.layers.{}.self_attn.q_proj.weight"),
+        "layers.wk": stack_linear("model.layers.{}.self_attn.k_proj.weight"),
+        "layers.wv": stack_linear("model.layers.{}.self_attn.v_proj.weight"),
+        "layers.wo": stack_linear("model.layers.{}.self_attn.o_proj.weight"),
+        "layers.w_gate": stack_linear("model.layers.{}.mlp.gate_proj.weight"),
+        "layers.w_up": stack_linear("model.layers.{}.mlp.up_proj.weight"),
+        "layers.w_down": stack_linear("model.layers.{}.mlp.down_proj.weight"),
+        "layers.ln_attn": stack_norm("model.layers.{}.input_layernorm.weight"),
+        "layers.ln_mlp": stack_norm("model.layers.{}.post_attention_layernorm.weight"),
+    }
+    if not cfg.tie_word_embeddings:
+        flat["lm_head"] = jnp.asarray(get("lm_head.weight").T, dtype=dtype)
+    return _unflatten(flat)
+
+
+def slice_layers(layers: Params, lo: int, hi: int) -> Params:
+    """Static slice of the stacked layer params: layers [lo, hi)."""
+    return jax.tree_util.tree_map(lambda x: x[lo:hi], layers)
+
+
+# ---------------------------------------------------------------------------
+# Forward building blocks
+# ---------------------------------------------------------------------------
+
+def rms_norm(x: jnp.ndarray, w: jnp.ndarray, eps: float) -> jnp.ndarray:
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    normed = xf * jax.lax.rsqrt(var + eps)
+    return (normed * w.astype(jnp.float32)).astype(x.dtype)
+
+
+def qkv_proj(lp: Params, cfg: ModelConfig, h_normed: jnp.ndarray):
+    """h_normed [b, s, D] -> q [b, H, s, d], k/v [b, KH, s, d] (pre-RoPE)."""
+    b, s, _ = h_normed.shape
+    q = h_normed @ lp["wq"]
+    k = h_normed @ lp["wk"]
+    v = h_normed @ lp["wv"]
+    q = q.reshape(b, s, cfg.num_heads, cfg.head_dim).transpose(0, 2, 1, 3)
+    k = k.reshape(b, s, cfg.num_kv_heads, cfg.head_dim).transpose(0, 2, 1, 3)
+    v = v.reshape(b, s, cfg.num_kv_heads, cfg.head_dim).transpose(0, 2, 1, 3)
+    return q, k, v
+
+
+def mlp(lp: Params, x: jnp.ndarray) -> jnp.ndarray:
+    gate = x @ lp["w_gate"]
+    up = x @ lp["w_up"]
+    return (jax.nn.silu(gate) * up) @ lp["w_down"]
+
+
+def attn_out_proj(lp: Params, attn: jnp.ndarray) -> jnp.ndarray:
+    """attn [b, H, s, d] -> [b, s, D]."""
+    b, H, s, d = attn.shape
+    return attn.transpose(0, 2, 1, 3).reshape(b, s, H * d) @ lp["wo"]
+
+
+def embed(params: Params, cfg: ModelConfig, tokens: jnp.ndarray) -> jnp.ndarray:
+    return jnp.take(params["embed"], tokens, axis=0)
+
+
+def unembed(params: Params, cfg: ModelConfig, h: jnp.ndarray) -> jnp.ndarray:
+    """Final norm + LM head. h [b, s, D] -> logits [b, s, V] fp32."""
+    h = rms_norm(h, params["final_norm"], cfg.rms_norm_eps)
+    w = params["embed"].T if cfg.tie_word_embeddings else params["lm_head"]
+    return jnp.einsum("bsd,dv->bsv", h, w, preferred_element_type=jnp.float32)
+
+
+class RopeCache:
+    """Holds the (device-resident) inverse frequency vector for a config."""
+
+    def __init__(self, cfg: ModelConfig):
+        self.inv_freq = jnp.asarray(compute_inv_freq(cfg))
+
+    def cos_sin(self, positions: jnp.ndarray):
+        return rope_cos_sin(positions, self.inv_freq)
+
+
+def rope_qk(
+    q: jnp.ndarray, k: jnp.ndarray, positions: jnp.ndarray, inv_freq: jnp.ndarray
+):
+    cos, sin = rope_cos_sin(positions, inv_freq)
+    return apply_rope(q, cos, sin), apply_rope(k, cos, sin)
