@@ -1,0 +1,152 @@
+"""Headline benchmark: FastKV vs FullKV e2e decode speedup on one TPU chip.
+
+Protocol mirrors the reference e2e benchmark (reference: benchmark/e2e.py:53-243):
+synthetic prompt, greedy decode, prefill and decode timed separately; the
+headline claim is decode speedup of FastKV (TSP + compressed cache) over
+full-context decoding (README.md:16: up to 2.87x on GPU).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where value is
+the measured decode speedup and vs_baseline normalizes by the reference's 2.87x.
+Details go to stderr.
+
+Env knobs: FASTKV_BENCH_CTX (default 32768), FASTKV_BENCH_GEN (default 128),
+FASTKV_BENCH_MODEL (default llama-3.2-1b), FASTKV_BENCH_CPU=1 for a tiny CPU
+smoke run.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REF_DECODE_SPEEDUP = 2.87  # reference README.md:16
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def bench_method(method_name, cfg, params, ctx, genlen, ecfg_kw):
+    from fastkv_tpu.core.config import EngineConfig, Method, MethodConfig
+    from fastkv_tpu.engine import decode as decode_mod
+    from fastkv_tpu.engine import prefill as prefill_mod
+
+    mcfg = MethodConfig(
+        method=Method(method_name),
+        eviction_mode="proportional",
+        retain_rate=0.1,
+        tsp_rate=0.2,
+        tsp_idx=min(15, cfg.num_layers - 2),  # scripts/eval_longbench.sh canonical
+        window_size=8,
+        kernel_size=7,
+        pooling="maxpool",
+    )
+    ecfg = EngineConfig(
+        prefill_buckets=(ctx,), max_new_tokens=genlen, **ecfg_kw
+    )
+    shapes = prefill_mod.plan_shapes(cfg, mcfg, ecfg, ctx)
+    tokens = jnp.ones((1, ctx), jnp.int32)  # synthetic, like e2e.py:55-56
+    n_true = jnp.array([ctx], jnp.int32)
+
+    pf = jax.jit(lambda p, t, n: prefill_mod.prefill(p, cfg, mcfg, ecfg, shapes, t, n))
+    gg = jax.jit(
+        lambda p, fl, c, n: decode_mod.greedy_generate(
+            p, cfg, mcfg, shapes, fl, c, n, genlen, None, 1
+        ),
+        donate_argnums=(2,),
+    )
+
+    # warmup / compile
+    t0 = time.perf_counter()
+    logits, cache = jax.block_until_ready(pf(params, tokens, n_true))
+    log(f"[{method_name}] prefill compile+first-run {time.perf_counter()-t0:.1f}s")
+    t0 = time.perf_counter()
+    res, cache2 = jax.block_until_ready(gg(params, logits, cache, n_true))
+    del cache2
+    log(f"[{method_name}] decode compile+first-run {time.perf_counter()-t0:.1f}s")
+
+    # measured
+    prefill_times, decode_times = [], []
+    runs = int(os.environ.get("FASTKV_BENCH_RUNS", "3"))
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        logits, cache = jax.block_until_ready(pf(params, tokens, n_true))
+        prefill_times.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        res, cache2 = jax.block_until_ready(gg(params, logits, cache, n_true))
+        decode_times.append(time.perf_counter() - t0)
+        del cache2
+    pt = float(np.mean(prefill_times))
+    dt = float(np.mean(decode_times))
+    tok_s = (genlen - 1) / dt if dt > 0 else float("inf")
+    mem = None
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        mem = stats.get("peak_bytes_in_use", stats.get("bytes_in_use"))
+    except Exception:
+        pass
+    log(
+        f"[{method_name}] prefill {pt*1000:.1f}ms  decode {dt*1000:.1f}ms for "
+        f"{genlen-1} toks = {tok_s:.1f} tok/s  peak_mem={mem}"
+    )
+    return {"prefill_s": pt, "decode_s": dt, "tok_s": tok_s, "peak_mem": mem}
+
+
+def main():
+    cpu_smoke = os.environ.get("FASTKV_BENCH_CPU") == "1"
+    if cpu_smoke:
+        jax.config.update("jax_platforms", "cpu")
+
+    from fastkv_tpu.core.config import MODEL_PRESETS
+    from fastkv_tpu.models.llama import init_params
+
+    if cpu_smoke:
+        from fastkv_tpu.core.config import ModelConfig
+
+        cfg = ModelConfig.tiny(num_layers=4)
+        ctx, genlen = 512, 16
+        ecfg_kw = dict(use_pallas=False, capacity_align=8)
+    else:
+        name = os.environ.get("FASTKV_BENCH_MODEL", "llama-3.2-1b")
+        cfg = MODEL_PRESETS[name](dtype="bfloat16")
+        ctx = int(os.environ.get("FASTKV_BENCH_CTX", "32768"))
+        genlen = int(os.environ.get("FASTKV_BENCH_GEN", "128"))
+        ecfg_kw = dict(use_pallas=os.environ.get("FASTKV_BENCH_PALLAS", "0") == "1")
+
+    dev = jax.devices()[0]
+    log(f"device: {dev.device_kind}, model: {cfg.name}, ctx={ctx}, genlen={genlen}")
+    t0 = time.perf_counter()
+    params = init_params(cfg, seed=0)
+    params = jax.device_put(params, dev)
+    jax.block_until_ready(params)
+    log(f"params initialised in {time.perf_counter()-t0:.1f}s")
+
+    full = bench_method("fullkv", cfg, params, ctx, genlen, ecfg_kw)
+    fast = bench_method("fastkv", cfg, params, ctx, genlen, ecfg_kw)
+
+    speedup = full["decode_s"] / fast["decode_s"]
+    prefill_ratio = full["prefill_s"] / fast["prefill_s"]
+    log(
+        f"decode speedup {speedup:.2f}x  prefill ratio {prefill_ratio:.2f}x  "
+        f"fastkv {fast['tok_s']:.1f} tok/s vs fullkv {full['tok_s']:.1f} tok/s"
+    )
+    print(
+        json.dumps(
+            {
+                "metric": f"fastkv_vs_fullkv_decode_speedup_ctx{ctx}_{cfg.name}",
+                "value": round(speedup, 3),
+                "unit": "x",
+                "vs_baseline": round(speedup / REF_DECODE_SPEEDUP, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,123 @@
+"""Mesh construction and sharding rules (DP / TP / SP axes).
+
+The reference is strictly single-GPU (every script pins CUDA_VISIBLE_DEVICES=0,
+e.g. scripts/eval_longbench.sh:12; its only multi-device mechanism is HF
+device_map layer splitting). This subsystem is new TPU scope per BASELINE.json:
+weights and the compressed KV cache are tensor-sharded over ICI with XLA
+collectives inserted by the SPMD partitioner — no NCCL analog needed.
+
+Axis semantics:
+  data  — batch (DP replicas; the continuous-batching scheduler assigns
+          requests across this axis)
+  model — TP: attention heads / MLP hidden / vocab; the compressed cache
+          shards on its cache-head axis (kv heads, <= num_kv_heads ways, or
+          query heads for the per-head SnapKV/H2O layout)
+  seq   — SP for long prefill (ring attention / Ulysses; see
+          fastkv_tpu.parallel.ring_attention)
+
+TSP under TP: per-kv-head scores live on the model axis; the kv-head sum for
+TSP selection (fastkv/utils.py:127) becomes a psum the partitioner inserts
+automatically from the sharding annotations, after which the top-k runs
+replicated — selection is bit-identical to single-chip.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from fastkv_tpu.core.config import ModelConfig, ParallelConfig
+
+AXES = ("data", "model", "seq")
+
+
+def make_mesh(pcfg: ParallelConfig, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n = pcfg.num_devices
+    if len(devices) < n:
+        raise ValueError(f"need {n} devices, have {len(devices)}")
+    arr = np.asarray(devices[:n]).reshape(pcfg.data, pcfg.model, pcfg.seq)
+    return Mesh(arr, AXES)
+
+
+def param_pspecs(cfg: ModelConfig) -> Dict[str, Any]:
+    """PartitionSpecs matching the fastkv_tpu.models.llama params pytree.
+
+    Megatron-style TP: column-parallel qkv/gate/up, row-parallel o/down (the
+    partitioner inserts the psum after row-parallel contractions); vocab-
+    parallel embedding and LM head."""
+    specs = {
+        # Replicated: token gather from a vocab-sharded table makes XLA
+        # materialize cross-shard gathers; the table is small relative to HBM
+        # (1-2 GB bf16 at 128k vocab). Vocab-parallel unembed still happens via
+        # lm_head below.
+        "embed": P(),
+        "final_norm": P(),
+        "layers": {
+            "wq": P(None, None, "model"),
+            "wk": P(None, None, "model"),
+            "wv": P(None, None, "model"),
+            "wo": P(None, "model", None),
+            "w_gate": P(None, None, "model"),
+            "w_up": P(None, None, "model"),
+            "w_down": P(None, "model", None),
+            "ln_attn": P(),
+            "ln_mlp": P(),
+        },
+    }
+    return specs
+
+
+def lm_head_pspec() -> P:
+    return P(None, "model")
+
+
+def full_param_pspecs(cfg: ModelConfig, tie: Optional[bool] = None) -> Dict[str, Any]:
+    specs = param_pspecs(cfg)
+    if not (cfg.tie_word_embeddings if tie is None else tie):
+        specs["lm_head"] = lm_head_pspec()
+    return specs
+
+
+def cache_pspec() -> Any:
+    """KVCache sharding: batch on data, cache heads on model."""
+    from fastkv_tpu.cache.kv_cache import KVCache
+
+    return KVCache(
+        k=P(None, "data", "model", None, None),
+        v=P(None, "data", "model", None, None),
+        pos=P(None, "data", "model", None),
+        valid=P(None, "data", "model", None),
+    )
+
+
+def tokens_pspec() -> P:
+    return P("data", None)
+
+
+def batch_pspec() -> P:
+    return P("data")
+
+
+def logits_pspec() -> P:
+    return P("data", "model")
+
+
+def shard_params(params: Dict[str, Any], mesh: Mesh, cfg: ModelConfig) -> Dict[str, Any]:
+    """device_put the params pytree onto the mesh per the TP rules."""
+    specs = full_param_pspecs(cfg)
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        params,
+        specs,
+        is_leaf=lambda x: isinstance(x, P),
+    )
+
+
+def named(mesh: Mesh, spec) -> Any:
+    return jax.tree_util.tree_map(
+        lambda s: NamedSharding(mesh, s), spec, is_leaf=lambda x: isinstance(x, P)
+    )

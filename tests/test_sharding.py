@@ -1,0 +1,87 @@
+"""Multi-device sharding tests on the virtual 8-CPU-device mesh.
+
+Verifies that the TP/DP-sharded prefill+decode produce bit-identical results to
+the single-device run (selection/top-k must not change under sharding —
+SURVEY.md §7 'Distributed top-k' hard part)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from fastkv_tpu.core.config import (
+    EngineConfig,
+    Method,
+    MethodConfig,
+    ModelConfig,
+    ParallelConfig,
+)
+from fastkv_tpu.engine import decode as decode_mod
+from fastkv_tpu.engine import prefill as prefill_mod
+from fastkv_tpu.models.llama import init_params
+from fastkv_tpu.parallel import sharding as sh
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = ModelConfig.tiny(num_kv_heads=4, num_heads=8, hidden_size=128,
+                           intermediate_size=256)
+    mcfg = MethodConfig(
+        method=Method.FASTKV, eviction_mode="proportional",
+        retain_rate=0.25, tsp_rate=0.5, tsp_idx=1,
+    )
+    ecfg = EngineConfig(prefill_buckets=(256,), max_new_tokens=8,
+                        use_pallas=False, capacity_align=8)
+    shapes = prefill_mod.plan_shapes(cfg, mcfg, ecfg, 256)
+    params = init_params(cfg, seed=0)
+    rng = np.random.default_rng(0)
+    tokens = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 256)), jnp.int32)
+    n_true = jnp.array([230, 180], jnp.int32)
+    return cfg, mcfg, ecfg, shapes, params, tokens, n_true
+
+
+def run(cfg, mcfg, ecfg, shapes, params, tokens, n_true):
+    logits, cache = jax.jit(
+        lambda p, t, n: prefill_mod.prefill(p, cfg, mcfg, ecfg, shapes, t, n)
+    )(params, tokens, n_true)
+    tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    logits2, cache2 = jax.jit(
+        lambda p, c, tk, pos, slot: decode_mod.decode_step(p, cfg, mcfg, c, tk, pos, slot)
+    )(params, cache, tok, n_true, jnp.int32(shapes.prefill_capacity))
+    return np.asarray(logits), np.asarray(logits2), cache2
+
+
+def test_tp_dp_matches_single_device(setup):
+    cfg, mcfg, ecfg, shapes, params, tokens, n_true = setup
+    ref_logits, ref_logits2, ref_cache = run(
+        cfg, mcfg, ecfg, shapes, params, tokens, n_true
+    )
+
+    pcfg = ParallelConfig(data=2, model=4)
+    mesh = sh.make_mesh(pcfg)
+    pspecs = sh.full_param_pspecs(cfg)
+    sharded_params = jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        params, pspecs, is_leaf=lambda x: isinstance(x, P),
+    )
+    tok_s = jax.device_put(tokens, NamedSharding(mesh, P("data", None)))
+    n_s = jax.device_put(n_true, NamedSharding(mesh, P("data")))
+    with jax.set_mesh(mesh):
+        sh_logits, sh_logits2, sh_cache = run(
+            cfg, mcfg, ecfg, shapes, sharded_params, tok_s, n_s
+        )
+
+    np.testing.assert_allclose(sh_logits, ref_logits, atol=2e-4, rtol=1e-4)
+    np.testing.assert_allclose(sh_logits2, ref_logits2, atol=2e-4, rtol=1e-4)
+    # compressed cache contents identical (selection invariant under sharding)
+    np.testing.assert_array_equal(
+        np.asarray(sh_cache.valid), np.asarray(ref_cache.valid)
+    )
+    np.testing.assert_array_equal(np.asarray(sh_cache.pos), np.asarray(ref_cache.pos))
+
+
+def test_graft_entry_dryrun():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
