@@ -42,7 +42,9 @@ def bench_method(method_name, cfg, params, ctx, genlen, ecfg_kw):
         eviction_mode="proportional",
         retain_rate=0.1,
         tsp_rate=0.2,
-        tsp_idx=min(15, cfg.num_layers - 2),  # scripts/eval_longbench.sh canonical
+        # canonical operating point is tsp_idx=15 of 32 layers
+        # (scripts/eval_longbench.sh); scale the same fraction to other depths
+        tsp_idx=min(max(1, round(cfg.num_layers * 15 / 32)), cfg.num_layers - 2),
         window_size=8,
         kernel_size=7,
         pooling="maxpool",
@@ -62,12 +64,17 @@ def bench_method(method_name, cfg, params, ctx, genlen, ecfg_kw):
         donate_argnums=(2,),
     )
 
-    # warmup / compile
+    from fastkv_tpu.utils.timing import force
+
+    # warmup / compile (force() fetches a scalar: on the tunneled axon backend
+    # block_until_ready returns at dispatch, so completion must be fetch-forced)
     t0 = time.perf_counter()
-    logits, cache = jax.block_until_ready(pf(params, tokens, n_true))
+    logits, cache = pf(params, tokens, n_true)
+    force(logits)
     log(f"[{method_name}] prefill compile+first-run {time.perf_counter()-t0:.1f}s")
     t0 = time.perf_counter()
-    res, cache2 = jax.block_until_ready(gg(params, logits, cache, n_true))
+    res, cache2 = gg(params, logits, cache, n_true)
+    force(res.tokens)
     del cache2
     log(f"[{method_name}] decode compile+first-run {time.perf_counter()-t0:.1f}s")
 
@@ -76,10 +83,12 @@ def bench_method(method_name, cfg, params, ctx, genlen, ecfg_kw):
     runs = int(os.environ.get("FASTKV_BENCH_RUNS", "3"))
     for _ in range(runs):
         t0 = time.perf_counter()
-        logits, cache = jax.block_until_ready(pf(params, tokens, n_true))
+        logits, cache = pf(params, tokens, n_true)
+        force(logits)
         prefill_times.append(time.perf_counter() - t0)
         t0 = time.perf_counter()
-        res, cache2 = jax.block_until_ready(gg(params, logits, cache, n_true))
+        res, cache2 = gg(params, logits, cache, n_true)
+        force(res.tokens)
         decode_times.append(time.perf_counter() - t0)
         del cache2
     pt = float(np.mean(prefill_times))
@@ -121,11 +130,14 @@ def main():
 
     dev = jax.devices()[0]
     log(f"device: {dev.device_kind}, model: {cfg.name}, ctx={ctx}, genlen={genlen}")
+    from fastkv_tpu.models.llama import init_params_on_device
+    from fastkv_tpu.utils.timing import force, warmup_device
+
+    log(f"device warmup {warmup_device():.1f}s")
     t0 = time.perf_counter()
-    params = init_params(cfg, seed=0)
-    params = jax.device_put(params, dev)
-    jax.block_until_ready(params)
-    log(f"params initialised in {time.perf_counter()-t0:.1f}s")
+    params = init_params_on_device(cfg, seed=0)
+    force(params["final_norm"])
+    log(f"params initialised on device in {time.perf_counter()-t0:.1f}s")
 
     full = bench_method("fullkv", cfg, params, ctx, genlen, ecfg_kw)
     fast = bench_method("fastkv", cfg, params, ctx, genlen, ecfg_kw)

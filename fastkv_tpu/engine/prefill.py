@@ -105,7 +105,7 @@ def _attend(
         from fastkv_tpu.ops import flash_prefill
 
         return flash_prefill.flash_attention(
-            q, k, v, state.positions, state.valid, sliding_window=cfg.sliding_window
+            q, k, v, state.positions, state.count, sliding_window=cfg.sliding_window
         )
     return att.chunked_causal_attention(
         q, k, v, state.positions, state.positions, state.valid,

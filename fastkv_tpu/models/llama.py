@@ -80,6 +80,32 @@ def init_params(cfg: ModelConfig, seed: int = 0) -> Params:
     return _unflatten(flat)
 
 
+def init_params_on_device(cfg: ModelConfig, seed: int = 0) -> Params:
+    """Random init directly on the default device (jit-compiled jax.random).
+
+    Avoids host->device transfer of gigabytes of random weights — essential in
+    environments where the accelerator sits behind a slow transport; only the
+    PRNG key crosses the wire.
+    """
+    dtype = jnp.dtype(cfg.dtype)
+    shapes = param_shapes(cfg)
+
+    @jax.jit
+    def build(key):
+        flat = {}
+        for name, shp in sorted(shapes.items()):
+            key, sub = jax.random.split(key)
+            if name.endswith("norm") or "ln_" in name:
+                flat[name] = jnp.ones(shp, jnp.float32)
+            else:
+                flat[name] = (jax.random.normal(sub, shp, jnp.float32) * 0.02).astype(
+                    dtype if len(shp) > 1 else jnp.float32
+                )
+        return flat
+
+    return _unflatten(build(jax.random.PRNGKey(seed)))
+
+
 def params_from_hf_state_dict(cfg: ModelConfig, sd, dtype=None) -> Params:
     """Convert a HuggingFace Llama/Mistral state dict (name -> numpy array).
 

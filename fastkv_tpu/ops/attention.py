@@ -240,7 +240,7 @@ def chunked_causal_attention(
     k_pos: jnp.ndarray,
     k_valid: jnp.ndarray,
     sliding_window: Optional[int] = None,
-    q_block: int = 1024,
+    q_block: Optional[int] = None,
 ) -> jnp.ndarray:
     """Flash-style causal attention in pure XLA: O(s * q_block) memory.
 
@@ -251,6 +251,10 @@ def chunked_causal_attention(
     flash_attn_func prefill call (baselines/fastkv/llama_model.py:181-183).
     """
     b, h, sq, d = q.shape
+    if q_block is None:
+        # cap the fp32 logits block [b, h, qb, s] near 512 MB
+        budget = 512 * 1024 * 1024 // (max(b * h * sq, 1) * 4)
+        q_block = max(128, min(1024, budget))
     scale = d**-0.5
     nb = (sq + q_block - 1) // q_block
     pad = nb * q_block - sq

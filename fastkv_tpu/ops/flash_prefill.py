@@ -1,0 +1,196 @@
+"""Pallas TPU flash-attention prefill kernel.
+
+TPU-native replacement for the reference's external FlashAttention-2 CUDA
+kernels (reference: baselines/fastkv/llama_model.py:8,79-81,181-183).
+
+Engine-specific semantics:
+  * GQA native: K/V stay in kv-head layout; the grid runs over query heads and
+    the K/V BlockSpec index maps fold h -> h // group (no repeat_kv
+    materialization, unlike the reference which repeats to full heads before
+    its flash call in several baselines).
+  * Causality over *original position ids*: token-selected (post-TSP) sequences
+    carry non-contiguous positions (reference: fastkv/llama_model.py:252-259),
+    so the mask is pos_k <= pos_q, not index comparison. Valid tokens always
+    occupy a prefix of the layout, so column validity is idx < count.
+  * Online softmax with unnormalized fp32 accumulator; block-level causal
+    skipping redirects the K/V index map to block 0 on skipped blocks so the
+    upper triangle costs neither FLOPs nor DMA bandwidth.
+
+Correctness reference: fastkv_tpu.ops.attention.chunked_causal_attention.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _below_or_on_diag(iq: jnp.ndarray, bq: int, ik: jnp.ndarray, bk: int):
+    """True if kv block ik overlaps the causal (lower-triangular) region of
+    query block iq, i.e. first kv index <= last q index."""
+    return ik * bk <= iq * bq + (bq - 1)
+
+
+def _kernel(
+    # scalar prefetch
+    count_ref,  # [b] int32 — number of valid tokens per example
+    # inputs
+    q_ref,  # [1, 1, bq, d]
+    k_ref,  # [1, 1, bk, d]
+    v_ref,  # [1, 1, bk, d]
+    pq_ref,  # [1, bq] int32 query positions
+    pk_ref,  # [1, bk] int32 key positions
+    # outputs
+    o_ref,  # [1, 1, bq, d]
+    # scratch
+    m_scr,  # [bq, 128] fp32 running max
+    l_scr,  # [bq, 128] fp32 running sum
+    acc_scr,  # [bq, d] fp32 unnormalized accumulator
+    *,
+    scale: float,
+    block_q: int,
+    block_k: int,
+    num_k_blocks: int,
+    sliding_window: Optional[int],
+):
+    ib = pl.program_id(0)
+    iq = pl.program_id(2)
+    ik = pl.program_id(3)
+
+    @pl.when(ik == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    @pl.when(_below_or_on_diag(iq, block_q, ik, block_k))
+    def _run():
+        q = q_ref[0, 0]  # [bq, d]
+        k = k_ref[0, 0]  # [bk, d]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # [bq, bk]
+
+        pq = pq_ref[0].astype(jnp.int32)  # [bq]
+        pk = pk_ref[0].astype(jnp.int32)  # [bk]
+        count = count_ref[ib]
+        col_idx = ik * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1
+        )
+        mask = (pk[None, :] <= pq[:, None]) & (col_idx < count)
+        if sliding_window is not None:
+            mask = mask & (pk[None, :] > pq[:, None] - sliding_window)
+        s = jnp.where(mask, s, NEG_INF)
+
+        m_prev = m_scr[:, :1]  # [bq, 1]
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        corr = jnp.exp(m_prev - m_new)  # [bq, 1]
+        p = jnp.exp(s - m_new)  # [bq, bk]
+        p = jnp.where(mask, p, 0.0)  # kill exp(NEG_INF - m) garbage for m=NEG_INF rows
+        l_new = corr * l_scr[:, :1] + jnp.sum(p, axis=1, keepdims=True)
+
+        acc_scr[...] = acc_scr[...] * corr + jax.lax.dot_general(
+            p.astype(v_ref.dtype),
+            v_ref[0, 0],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_scr[...] = jnp.broadcast_to(m_new, m_scr.shape)
+        l_scr[...] = jnp.broadcast_to(l_new, l_scr.shape)
+
+    @pl.when(ik == num_k_blocks - 1)
+    def _finalize():
+        l = l_scr[:, :1]
+        inv = jnp.where(l == 0.0, 0.0, 1.0 / jnp.where(l == 0.0, 1.0, l))
+        o_ref[0, 0] = (acc_scr[...] * inv).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("sliding_window", "block_q", "block_k")
+)
+def flash_attention(
+    q: jnp.ndarray,  # [b, H, s, d]
+    k: jnp.ndarray,  # [b, KH, s, d]
+    v: jnp.ndarray,  # [b, KH, s, d]
+    positions: jnp.ndarray,  # [b, s] int32 original positions (ascending prefix)
+    count: jnp.ndarray,  # [b] int32 number of valid tokens
+    sliding_window: Optional[int] = None,
+    block_q: int = 512,
+    block_k: int = 512,
+) -> jnp.ndarray:
+    b, h, s, d = q.shape
+    kh = k.shape[1]
+    g = h // kh
+    block_q = min(block_q, s)
+    block_k = min(block_k, s)
+    nq = pl.cdiv(s, block_q)
+    nk = pl.cdiv(s, block_k)
+    grid = (b, h, nq, nk)
+
+    def q_map(ib, ih, iq, ik, count_ref):
+        return (ib, ih, iq, 0)
+
+    def kv_map(ib, ih, iq, ik, count_ref):
+        # skipped (above-diagonal) blocks revisit block 0: no DMA traffic
+        nxt = jax.lax.select(_below_or_on_diag(iq, block_q, ik, block_k), ik, 0)
+        return (ib, ih // g, nxt, 0)
+
+    def pq_map(ib, ih, iq, ik, count_ref):
+        return (ib, iq)
+
+    def pk_map(ib, ih, iq, ik, count_ref):
+        nxt = jax.lax.select(_below_or_on_diag(iq, block_q, ik, block_k), ik, 0)
+        return (ib, nxt)
+
+    def o_map(ib, ih, iq, ik, count_ref):
+        return (ib, ih, iq, 0)
+
+    kernel = functools.partial(
+        _kernel,
+        scale=d**-0.5,
+        block_q=block_q,
+        block_k=block_k,
+        num_k_blocks=nk,
+        sliding_window=sliding_window,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, d), q_map),
+            pl.BlockSpec((1, 1, block_k, d), kv_map),
+            pl.BlockSpec((1, 1, block_k, d), kv_map),
+            pl.BlockSpec((1, block_q), pq_map),
+            pl.BlockSpec((1, block_k), pk_map),
+        ],
+        out_specs=pl.BlockSpec((1, 1, block_q, d), o_map),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+    )
+    flops_per_head = 4 * s * s * d // 2  # causal half
+    cost = pl.CostEstimate(
+        flops=b * h * flops_per_head,
+        bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize * 2,
+        transcendentals=b * h * s * s // 2,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=cost,
+    )(count.astype(jnp.int32), q, k, v, positions.astype(jnp.int32), positions.astype(jnp.int32))
+    return out
