@@ -38,43 +38,52 @@ def decode_step(
     pos: jnp.ndarray,  # [b] int32 — original position of this token
     slot: jnp.ndarray,  # scalar int32 — static-per-step cache slot to write
 ) -> Tuple[jnp.ndarray, KVCache]:
-    """One decode step. Returns (logits [b, V] fp32, updated cache)."""
+    """One decode step. Returns (logits [b, V] fp32, updated cache).
+
+    Layers are UNROLLED (static indexing into the stacked params) rather than
+    scanned: a lax.scan emitting per-layer cache slices as stacked ys would
+    force XLA to materialize a fresh copy of the whole multi-GB cache every
+    token, while unrolled dynamic_update_slice on the carried cache arrays
+    updates in place. Decode ops are tiny, so unrolled compile time is fine.
+    """
     inv_freq = jnp.asarray(compute_inv_freq(cfg))
     b = token.shape[0]
     h = llama.embed(params, cfg, token[:, None])  # [b, 1, D]
     ch = cache.k.shape[2]
     g_rep = ch // cfg.num_kv_heads  # 1, or groups for per-query-head caches
+    zero = jnp.zeros((), jnp.int32)
 
-    def body(carry, xs):
-        h = carry
-        lp, k_l, v_l, pos_l, valid_l = xs
+    k_all, v_all = cache.k, cache.v
+    pos_all, valid_all = cache.pos, cache.valid
+    pos_blk = jnp.broadcast_to(pos[:, None, None], (b, ch, 1)).astype(jnp.int32)
+
+    for l in range(cfg.num_layers):
+        lp = jax.tree_util.tree_map(lambda x: x[l], params["layers"])
         hn = llama.rms_norm(h, lp["ln_attn"], cfg.rms_norm_eps)
         q, k_new, v_new = llama.qkv_proj(lp, cfg, hn)  # q [b,H,1,d]
         q, k_new = llama.rope_qk(q, k_new, pos[:, None], inv_freq)
         if g_rep > 1:  # reference repeats kv before caching (snapkv/h2o)
             k_new = jnp.repeat(k_new, g_rep, axis=1)
             v_new = jnp.repeat(v_new, g_rep, axis=1)
-        zero = jnp.zeros((), jnp.int32)
-        k_l = jax.lax.dynamic_update_slice(k_l, k_new.astype(k_l.dtype), (zero, zero, slot, zero))
-        v_l = jax.lax.dynamic_update_slice(v_l, v_new.astype(v_l.dtype), (zero, zero, slot, zero))
-        pos_l = jax.lax.dynamic_update_slice(
-            pos_l, jnp.broadcast_to(pos[:, None, None], (b, ch, 1)).astype(jnp.int32), (zero, zero, slot)
+        li = jnp.int32(l)
+        k_all = jax.lax.dynamic_update_slice(
+            k_all, k_new.astype(k_all.dtype)[None], (li, zero, zero, slot, zero)
         )
-        valid_l = jax.lax.dynamic_update_slice(
-            valid_l, jnp.ones((b, ch, 1), bool), (zero, zero, slot)
+        v_all = jax.lax.dynamic_update_slice(
+            v_all, v_new.astype(v_all.dtype)[None], (li, zero, zero, slot, zero)
+        )
+        pos_all = jax.lax.dynamic_update_slice(pos_all, pos_blk[None], (li, zero, zero, slot))
+        valid_all = jax.lax.dynamic_update_slice(
+            valid_all, jnp.ones((1, b, ch, 1), bool), (li, zero, zero, slot)
         )
         attn = att.decode_attention(
-            q, k_l, v_l, valid_l,
-            q_pos=pos, k_pos=pos_l, sliding_window=cfg.sliding_window,
+            q, k_all[l], v_all[l], valid_all[l],
+            q_pos=pos, k_pos=pos_all[l], sliding_window=cfg.sliding_window,
         )
         h = h + llama.attn_out_proj(lp, attn)
         h = h + llama.mlp(lp, llama.rms_norm(h, lp["ln_mlp"], cfg.rms_norm_eps))
-        return h, (k_l, v_l, pos_l, valid_l)
 
-    h, new_layers = jax.lax.scan(
-        body, h, (params["layers"], cache.k, cache.v, cache.pos, cache.valid)
-    )
-    new_cache = KVCache(k=new_layers[0], v=new_layers[1], pos=new_layers[2], valid=new_layers[3])
+    new_cache = KVCache(k=k_all, v=v_all, pos=pos_all, valid=valid_all)
     logits = llama.unembed(params, cfg, h)[:, 0, :]
     return logits, new_cache
 

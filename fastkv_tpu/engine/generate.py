@@ -71,6 +71,30 @@ class Engine:
 
     # -- user API --------------------------------------------------------------------
 
+    def _gemfilter_select_fn(self, bucket: int, capacity: int):
+        key = ("gem", bucket, capacity)
+        if key not in self._prefill_cache:
+            from fastkv_tpu.engine import gemfilter
+
+            def run(params, tokens, n_true):
+                return gemfilter.select_tokens(
+                    params, self.cfg, self.mcfg, self.ecfg, tokens, n_true, capacity
+                )
+
+            self._prefill_cache[key] = jax.jit(run)
+        return self._prefill_cache[key]
+
+    def _pass2_engine(self) -> "Engine":
+        """FullKV-semantics engine for GemFilter's second pass."""
+        if not hasattr(self, "_p2"):
+            self._p2 = Engine(
+                self.params,
+                self.cfg,
+                dataclasses.replace(self.mcfg, method=Method.FULLKV),
+                self.ecfg,
+            )
+        return self._p2
+
     def generate(
         self,
         input_ids: Sequence[Sequence[int]],
@@ -89,13 +113,32 @@ class Engine:
         n_true = jnp.asarray(lens, jnp.int32)
         tokens = jnp.asarray(tokens)
 
-        logits, cache = self.prefill_fn(bucket, max_new_tokens)(
-            self.params, tokens, n_true
-        )
-        eos_arr = jnp.asarray(list(eos_ids) or [0], jnp.int32)
-        result, _ = self.generate_fn(
-            bucket, max_new_tokens, len(eos_ids), min_new_tokens
-        )(self.params, logits, cache, n_true, eos_arr)
+        if self.mcfg.method == Method.GEMFILTER:
+            from fastkv_tpu.engine import gemfilter
+
+            cap = gemfilter.filter_capacity(
+                self.mcfg, bucket, self.ecfg.capacity_align
+            )
+            new_tokens, new_count, _ = self._gemfilter_select_fn(bucket, cap)(
+                self.params, tokens, n_true
+            )
+            # pass 2: fresh short prompt through a FullKV engine
+            eng2 = self._pass2_engine()
+            logits, cache = eng2.prefill_fn(cap, max_new_tokens)(
+                self.params, new_tokens, new_count
+            )
+            eos_arr = jnp.asarray(list(eos_ids) or [0], jnp.int32)
+            result, _ = eng2.generate_fn(
+                cap, max_new_tokens, len(eos_ids), min_new_tokens
+            )(self.params, logits, cache, new_count, eos_arr)
+        else:
+            logits, cache = self.prefill_fn(bucket, max_new_tokens)(
+                self.params, tokens, n_true
+            )
+            eos_arr = jnp.asarray(list(eos_ids) or [0], jnp.int32)
+            result, _ = self.generate_fn(
+                bucket, max_new_tokens, len(eos_ids), min_new_tokens
+            )(self.params, logits, cache, n_true, eos_arr)
         toks = np.asarray(result.tokens)
         nums = np.asarray(result.num_generated)
         return [toks[i, : nums[i]].tolist() for i in range(b)]
