@@ -271,8 +271,10 @@ class MethodConfig:
     pyramid_recent_ratio: float = 0.2
     pyramid_decay_ratio: float = 0.7
     pyramid_decay_strategy: str = "cosine"  # 'cosine' | 'linear'
-    pyramid_min_context_length: int = 1024
+    pyramid_min_context_length: int = 64
     pyramid_sink_len: int = 4
+    pyramid_distance_weight: float = 1.2
+    pyramid_downsample_interval: int = 1
     pyramid_gen_recent_size: int = 1024
     pyramid_gen_compress_ratio: float = 0.9
     pyramid_exceed_length_to_compress: int = 2048

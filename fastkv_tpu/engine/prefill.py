@@ -62,7 +62,9 @@ def plan_shapes(
     align = ecfg.capacity_align
     decode_cap = round_up(ecfg.max_new_tokens, align)
     m = mcfg.method
-    if m == Method.FULLKV or m == Method.GEMFILTER:
+    if m in (Method.FULLKV, Method.GEMFILTER, Method.PYRAMIDINFER):
+        # pyramidinfer: per-layer contents shrink with depth but share one
+        # uniform (validity-masked) capacity so layers stack
         return PrefillShapes(n_bucket, n_bucket, n_bucket, n_bucket, decode_cap)
     if m == Method.STREAMINGLLM:
         if mcfg.eviction_mode == "proportional":
@@ -312,6 +314,10 @@ def prefill(
     n_true: jnp.ndarray,  # [b]
 ) -> Tuple[jnp.ndarray, KVCache]:
     """Run the full prefill; returns (last-token logits [b, V] fp32, cache)."""
+    if mcfg.method == Method.PYRAMIDINFER:
+        from fastkv_tpu.engine import pyramid
+
+        return pyramid.prefill(params, cfg, mcfg, ecfg, shapes, tokens, n_true)
     b, s = tokens.shape
     assert s == shapes.bucket
     h = llama.embed(params, cfg, tokens)

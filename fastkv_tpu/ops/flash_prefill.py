@@ -131,8 +131,20 @@ def flash_attention(
     g = h // kh
     block_q = min(block_q, s)
     block_k = min(block_k, s)
-    nq = pl.cdiv(s, block_q)
-    nk = pl.cdiv(s, block_k)
+    # Mosaic's implicit edge-block padding corrupts partial blocks on real TPU
+    # (observed: NaN in the valid rows of a trailing partial q block), so pad
+    # the sequence to a block multiple explicitly; zero-padded keys are masked
+    # via col_idx < count and padded query rows are sliced away below.
+    blk = max(block_q, block_k)
+    s_pad = pl.cdiv(s, blk) * blk
+    if s_pad != s:
+        pad = s_pad - s
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        positions = jnp.pad(positions, ((0, 0), (0, pad)))
+    nq = s_pad // block_q
+    nk = s_pad // block_k
     grid = (b, h, nq, nk)
 
     def q_map(ib, ih, iq, ik, count_ref):
@@ -193,4 +205,4 @@ def flash_attention(
         ),
         cost_estimate=cost,
     )(count.astype(jnp.int32), q, k, v, positions.astype(jnp.int32), positions.astype(jnp.int32))
-    return out
+    return out[:, :, :s, :]
