@@ -80,7 +80,7 @@ def bench_method(method_name, cfg, params, ctx, genlen, ecfg_kw):
 
     # measured
     prefill_times, decode_times = [], []
-    runs = int(os.environ.get("FASTKV_BENCH_RUNS", "3"))
+    runs = int(os.environ.get("FASTKV_BENCH_RUNS", "2"))
     for _ in range(runs):
         t0 = time.perf_counter()
         logits, cache = pf(params, tokens, n_true)
@@ -124,9 +124,9 @@ def main():
     else:
         name = os.environ.get("FASTKV_BENCH_MODEL", "llama-3.2-1b")
         cfg = MODEL_PRESETS[name](dtype="bfloat16")
-        ctx = int(os.environ.get("FASTKV_BENCH_CTX", "32768"))
+        ctx = int(os.environ.get("FASTKV_BENCH_CTX", "131072"))
         genlen = int(os.environ.get("FASTKV_BENCH_GEN", "128"))
-        ecfg_kw = dict(use_pallas=os.environ.get("FASTKV_BENCH_PALLAS", "0") == "1")
+        ecfg_kw = dict(use_pallas=os.environ.get("FASTKV_BENCH_PALLAS", "1") == "1")
 
     dev = jax.devices()[0]
     log(f"device: {dev.device_kind}, model: {cfg.name}, ctx={ctx}, genlen={genlen}")

@@ -78,9 +78,12 @@ def _kernel(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale  # [bq, bk]
 
+        count = count_ref[ib]
+        # NOTE: a lax.cond that skips mask construction on interior blocks was
+        # tried and REGRESSED (Mosaic duplicates branch buffers: -25% perf and
+        # VMEM OOM at 1024x1024 blocks); unconditional masking wins.
         pq = pq_ref[0].astype(jnp.int32)  # [bq]
         pk = pk_ref[0].astype(jnp.int32)  # [bk]
-        count = count_ref[ib]
         col_idx = ik * block_k + jax.lax.broadcasted_iota(
             jnp.int32, (block_q, block_k), 1
         )
@@ -88,15 +91,14 @@ def _kernel(
         if sliding_window is not None:
             mask = mask & (pk[None, :] > pq[:, None] - sliding_window)
         s = jnp.where(mask, s, NEG_INF)
-
-        m_prev = m_scr[:, :1]  # [bq, 1]
+        m_prev = m_scr[:, :1]
         m_cur = jnp.max(s, axis=1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
-        corr = jnp.exp(m_prev - m_new)  # [bq, 1]
-        p = jnp.exp(s - m_new)  # [bq, bk]
-        p = jnp.where(mask, p, 0.0)  # kill exp(NEG_INF - m) garbage for m=NEG_INF rows
-        l_new = corr * l_scr[:, :1] + jnp.sum(p, axis=1, keepdims=True)
+        p = jnp.exp(s - m_new)
+        p = jnp.where(mask, p, 0.0)  # kill exp garbage on fully-masked rows
 
+        corr = jnp.exp(m_prev - m_new)  # [bq, 1]
+        l_new = corr * l_scr[:, :1] + jnp.sum(p, axis=1, keepdims=True)
         acc_scr[...] = acc_scr[...] * corr + jax.lax.dot_general(
             p.astype(v_ref.dtype),
             v_ref[0, 0],
@@ -123,8 +125,8 @@ def flash_attention(
     positions: jnp.ndarray,  # [b, s] int32 original positions (ascending prefix)
     count: jnp.ndarray,  # [b] int32 number of valid tokens
     sliding_window: Optional[int] = None,
-    block_q: int = 512,
-    block_k: int = 512,
+    block_q: int = 1024,
+    block_k: int = 1024,
 ) -> jnp.ndarray:
     b, h, s, d = q.shape
     kh = k.shape[1]
