@@ -29,6 +29,18 @@ from fastkv_tpu.models.rope import compute_inv_freq
 from fastkv_tpu.ops import attention as att
 
 
+def _dus_batch(arr: jnp.ndarray, upd: jnp.ndarray, slots: jnp.ndarray) -> jnp.ndarray:
+    """Per-example dynamic_update_slice along the slot axis.
+
+    arr [b, ch, C, ...]; upd [b, ch, 1, ...]; slots [b] int32. Used by the
+    continuous-batching scheduler where each slot sits at a different depth."""
+    def one(a, u, s):
+        start = (jnp.zeros((), jnp.int32), s) + (jnp.zeros((), jnp.int32),) * (a.ndim - 2)
+        return jax.lax.dynamic_update_slice(a, u, start)
+
+    return jax.vmap(one)(arr, upd, slots)
+
+
 def decode_step(
     params: Dict[str, Any],
     cfg: ModelConfig,
@@ -36,7 +48,7 @@ def decode_step(
     cache: KVCache,
     token: jnp.ndarray,  # [b] int32
     pos: jnp.ndarray,  # [b] int32 — original position of this token
-    slot: jnp.ndarray,  # scalar int32 — static-per-step cache slot to write
+    slot: jnp.ndarray,  # int32 scalar (uniform) or [b] (per-example) cache slot
 ) -> Tuple[jnp.ndarray, KVCache]:
     """One decode step. Returns (logits [b, V] fp32, updated cache).
 
@@ -56,6 +68,16 @@ def decode_step(
     k_all, v_all = cache.k, cache.v
     pos_all, valid_all = cache.pos, cache.valid
     pos_blk = jnp.broadcast_to(pos[:, None, None], (b, ch, 1)).astype(jnp.int32)
+    per_example = getattr(slot, "ndim", 0) == 1
+
+    def write(arr_all, li, upd):
+        if per_example:
+            layer = _dus_batch(arr_all[li], upd, slot.astype(jnp.int32))
+            return arr_all.at[li].set(layer)
+        idx = (jnp.int32(li), zero, zero, slot) + (
+            (zero,) if upd.ndim == 4 else ()
+        )
+        return jax.lax.dynamic_update_slice(arr_all, upd[None], idx)
 
     for l in range(cfg.num_layers):
         lp = jax.tree_util.tree_map(lambda x: x[l], params["layers"])
@@ -65,17 +87,10 @@ def decode_step(
         if g_rep > 1:  # reference repeats kv before caching (snapkv/h2o)
             k_new = jnp.repeat(k_new, g_rep, axis=1)
             v_new = jnp.repeat(v_new, g_rep, axis=1)
-        li = jnp.int32(l)
-        k_all = jax.lax.dynamic_update_slice(
-            k_all, k_new.astype(k_all.dtype)[None], (li, zero, zero, slot, zero)
-        )
-        v_all = jax.lax.dynamic_update_slice(
-            v_all, v_new.astype(v_all.dtype)[None], (li, zero, zero, slot, zero)
-        )
-        pos_all = jax.lax.dynamic_update_slice(pos_all, pos_blk[None], (li, zero, zero, slot))
-        valid_all = jax.lax.dynamic_update_slice(
-            valid_all, jnp.ones((1, b, ch, 1), bool), (li, zero, zero, slot)
-        )
+        k_all = write(k_all, l, k_new.astype(k_all.dtype))
+        v_all = write(v_all, l, v_new.astype(v_all.dtype))
+        pos_all = write(pos_all, l, pos_blk)
+        valid_all = write(valid_all, l, jnp.ones((b, ch, 1), bool))
         attn = att.decode_attention(
             q, k_all[l], v_all[l], valid_all[l],
             q_pos=pos, k_pos=pos_all[l], sliding_window=cfg.sliding_window,

@@ -1,0 +1,196 @@
+"""Continuous-batching scheduler: slot-based request admission over one shared
+decode batch.
+
+New TPU scope (the reference is strictly batch-1 offline evaluation; SURVEY.md
+§2.4). Design:
+
+  * `max_batch` decode slots share one stacked KVCache (capacity planned for
+    the scheduler's bucket). Every engine step runs a full-batch decode;
+    inactive slots compute garbage that is never read.
+  * Admission: a queued request is prefilled (batch-1 program, any method —
+    FastKV TSP included) and its compressed cache is written into a free slot.
+    Slot-tagged per-example decode offsets use the per-example
+    dynamic_update_slice path in fastkv_tpu.engine.decode.
+  * Retirement: EOS or max_new_tokens frees the slot for the next queued
+    request.
+  * Observability: per-request queue time, TTFT, decode TPOT, and token counts
+    (structured dicts; SURVEY.md §5 metrics/logging).
+
+This is the single-host core; DP replicas each run one Scheduler and a front
+door assigns requests across replicas (multi-host serving loop: see
+fastkv_tpu.engine.serve).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fastkv_tpu.cache.kv_cache import KVCache, empty_cache
+from fastkv_tpu.core.config import EngineConfig, MethodConfig, ModelConfig
+from fastkv_tpu.engine import decode as decode_mod
+from fastkv_tpu.engine import prefill as prefill_mod
+from fastkv_tpu.policies.methods import cache_heads
+
+
+@dataclasses.dataclass
+class Request:
+    req_id: int
+    prompt: List[int]
+    max_new_tokens: int
+    eos_ids: Sequence[int] = ()
+    # filled by the scheduler
+    submitted_at: float = 0.0
+    prefill_done_at: float = 0.0
+    finished_at: float = 0.0
+    tokens: List[int] = dataclasses.field(default_factory=list)
+
+    @property
+    def metrics(self) -> Dict[str, Any]:
+        n = len(self.tokens)
+        decode_time = max(self.finished_at - self.prefill_done_at, 1e-9)
+        return {
+            "req_id": self.req_id,
+            "prompt_len": len(self.prompt),
+            "new_tokens": n,
+            "ttft_s": self.prefill_done_at - self.submitted_at,
+            "tpot_s": decode_time / max(n - 1, 1),
+            "total_s": self.finished_at - self.submitted_at,
+        }
+
+
+class Scheduler:
+    def __init__(
+        self,
+        params: Dict[str, Any],
+        cfg: ModelConfig,
+        mcfg: MethodConfig,
+        ecfg: Optional[EngineConfig] = None,
+        max_batch: int = 4,
+        bucket: int = 4096,
+        max_new_tokens: int = 256,
+    ):
+        self.params = params
+        self.cfg = cfg
+        self.mcfg = mcfg
+        self.ecfg = ecfg or EngineConfig()
+        self.ecfg = dataclasses.replace(
+            self.ecfg, max_new_tokens=max_new_tokens, max_batch_size=max_batch
+        )
+        self.max_batch = max_batch
+        self.bucket = bucket
+        self.max_new = max_new_tokens
+        self.shapes = prefill_mod.plan_shapes(cfg, mcfg, self.ecfg, bucket)
+
+        ch = cache_heads(mcfg.method, cfg)
+        self.cache = empty_cache(
+            cfg.num_layers, max_batch, ch, self.shapes.total_capacity,
+            cfg.head_dim, dtype=jnp.dtype(cfg.dtype),
+        )
+        self.tok = np.zeros(max_batch, np.int32)
+        self.pos = np.zeros(max_batch, np.int32)
+        self.steps = np.zeros(max_batch, np.int32)
+        self.budget = np.zeros(max_batch, np.int32)
+        self.active = np.zeros(max_batch, bool)
+        self.slot_req: List[Optional[Request]] = [None] * max_batch
+
+        self.queue: List[Request] = []
+        self.finished: List[Request] = []
+        self._next_id = 0
+
+        self._prefill = jax.jit(
+            lambda p, t, n: prefill_mod.prefill(
+                p, cfg, mcfg, self.ecfg, self.shapes, t, n
+            )
+        )
+        self._step = jax.jit(
+            lambda p, c, tok, pos, slots: decode_mod.decode_step(
+                p, cfg, mcfg, c, tok, pos, slots
+            ),
+            donate_argnums=(1,),
+        )
+
+    # -- public API -----------------------------------------------------------------
+
+    def submit(self, prompt: Sequence[int], max_new_tokens: Optional[int] = None,
+               eos_ids: Sequence[int] = ()) -> int:
+        req = Request(
+            req_id=self._next_id, prompt=list(prompt),
+            max_new_tokens=max_new_tokens or self.max_new, eos_ids=eos_ids,
+            submitted_at=time.perf_counter(),
+        )
+        self._next_id += 1
+        self.queue.append(req)
+        return req.req_id
+
+    def run(self) -> List[Request]:
+        """Drain the queue; returns finished requests (with metrics)."""
+        while self.queue or self.active.any():
+            self._admit()
+            if self.active.any():
+                self._decode_one_step()
+        out, self.finished = self.finished, []
+        return out
+
+    # -- internals ------------------------------------------------------------------
+
+    def _admit(self) -> None:
+        for slot in range(self.max_batch):
+            if self.active[slot] or not self.queue:
+                continue
+            req = self.queue.pop(0)
+            tokens = np.zeros((1, self.bucket), np.int32)
+            n = min(len(req.prompt), self.bucket)
+            tokens[0, :n] = req.prompt[:n]
+            logits, cache1 = self._prefill(
+                self.params, jnp.asarray(tokens), jnp.asarray([n], jnp.int32)
+            )
+            first = int(np.asarray(jnp.argmax(logits[0])))
+            req.prefill_done_at = time.perf_counter()
+            req.tokens = [first]
+            # install the request's compressed cache into its slot
+            self.cache = KVCache(
+                k=self.cache.k.at[:, slot].set(cache1.k[:, 0]),
+                v=self.cache.v.at[:, slot].set(cache1.v[:, 0]),
+                pos=self.cache.pos.at[:, slot].set(cache1.pos[:, 0]),
+                valid=self.cache.valid.at[:, slot].set(cache1.valid[:, 0]),
+            )
+            self.tok[slot] = first
+            self.pos[slot] = n
+            self.steps[slot] = 0
+            self.budget[slot] = req.max_new_tokens
+            self.active[slot] = True
+            self.slot_req[slot] = req
+            if first in set(req.eos_ids) or req.max_new_tokens <= 1:
+                self._retire(slot)
+
+    def _decode_one_step(self) -> None:
+        slots = self.shapes.prefill_capacity + self.steps
+        logits, self.cache = self._step(
+            self.params, self.cache, jnp.asarray(self.tok), jnp.asarray(self.pos),
+            jnp.asarray(slots, jnp.int32),
+        )
+        nxt = np.asarray(jnp.argmax(logits, axis=-1)).astype(np.int32)
+        for slot in range(self.max_batch):
+            if not self.active[slot]:
+                continue
+            req = self.slot_req[slot]
+            tok = int(nxt[slot])
+            req.tokens.append(tok)
+            self.steps[slot] += 1
+            self.pos[slot] += 1
+            self.tok[slot] = tok
+            if tok in set(req.eos_ids) or len(req.tokens) >= req.max_new_tokens:
+                self._retire(slot)
+
+    def _retire(self, slot: int) -> None:
+        req = self.slot_req[slot]
+        req.finished_at = time.perf_counter()
+        self.finished.append(req)
+        self.active[slot] = False
+        self.slot_req[slot] = None

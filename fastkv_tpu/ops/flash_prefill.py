@@ -49,17 +49,20 @@ def _kernel(
     pk_ref,  # [1, bk] int32 key positions
     # outputs
     o_ref,  # [1, 1, bq, d]
-    # scratch
-    m_scr,  # [bq, 128] fp32 running max
-    l_scr,  # [bq, 128] fp32 running sum
-    acc_scr,  # [bq, d] fp32 unnormalized accumulator
-    *,
+    *rest,  # optional (m_out, l_out) refs when return_aux, then scratch
     scale: float,
     block_q: int,
     block_k: int,
     num_k_blocks: int,
     sliding_window: Optional[int],
+    causal_skip: bool,
+    return_aux: bool,
 ):
+    if return_aux:
+        m_out, l_out = rest[0], rest[1]
+        m_scr, l_scr, acc_scr = rest[2], rest[3], rest[4]
+    else:
+        m_scr, l_scr, acc_scr = rest[0], rest[1], rest[2]
     ib = pl.program_id(0)
     iq = pl.program_id(2)
     ik = pl.program_id(3)
@@ -70,7 +73,13 @@ def _kernel(
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    @pl.when(_below_or_on_diag(iq, block_q, ik, block_k))
+    run_gate = (
+        _below_or_on_diag(iq, block_q, ik, block_k)
+        if causal_skip
+        else (ik >= 0)
+    )
+
+    @pl.when(run_gate)
     def _run():
         q = q_ref[0, 0]  # [bq, d]
         k = k_ref[0, 0]  # [bk, d]
@@ -113,56 +122,86 @@ def _kernel(
         l = l_scr[:, :1]
         inv = jnp.where(l == 0.0, 0.0, 1.0 / jnp.where(l == 0.0, 1.0, l))
         o_ref[0, 0] = (acc_scr[...] * inv).astype(o_ref.dtype)
+        if return_aux:
+            m_out[0, 0] = m_scr[...]
+            l_out[0, 0] = l_scr[...]
 
 
 @functools.partial(
-    jax.jit, static_argnames=("sliding_window", "block_q", "block_k")
+    jax.jit,
+    static_argnames=("sliding_window", "block_q", "block_k", "pattern", "return_aux"),
 )
 def flash_attention(
     q: jnp.ndarray,  # [b, H, s, d]
-    k: jnp.ndarray,  # [b, KH, s, d]
-    v: jnp.ndarray,  # [b, KH, s, d]
+    k: jnp.ndarray,  # [b, KH, sk, d]
+    v: jnp.ndarray,  # [b, KH, sk, d]
     positions: jnp.ndarray,  # [b, s] int32 original positions (ascending prefix)
     count: jnp.ndarray,  # [b] int32 number of valid tokens
     sliding_window: Optional[int] = None,
     block_q: int = 1024,
     block_k: int = 1024,
-) -> jnp.ndarray:
+    pattern: str = "causal",  # 'causal' (local diagonal skip) | 'full' (no skip;
+    #   used by ring attention for kv chunks that precede the query chunk —
+    #   masking is still position-based either way)
+    return_aux: bool = False,  # also return (m, l) row statistics for
+    #   cross-chunk online-softmax merging (ring attention)
+    k_positions: Optional[jnp.ndarray] = None,  # [b, sk] when k/v come from a
+    #   different chunk than q (ring); defaults to `positions`
+    k_count: Optional[jnp.ndarray] = None,  # [b] valid keys; defaults to count
+):
     b, h, s, d = q.shape
     kh = k.shape[1]
+    sk = k.shape[2]
     g = h // kh
+    if k_positions is None:
+        k_positions = positions
+    if k_count is None:
+        k_count = count
+    causal_skip = pattern == "causal" and sk == s
     block_q = min(block_q, s)
-    block_k = min(block_k, s)
+    block_k = min(block_k, sk)
     # Mosaic's implicit edge-block padding corrupts partial blocks on real TPU
     # (observed: NaN in the valid rows of a trailing partial q block), so pad
-    # the sequence to a block multiple explicitly; zero-padded keys are masked
-    # via col_idx < count and padded query rows are sliced away below.
-    blk = max(block_q, block_k)
-    s_pad = pl.cdiv(s, blk) * blk
+    # sequences to block multiples explicitly; zero-padded keys are masked via
+    # col_idx < count and padded query rows are sliced away below.
+    s_pad = pl.cdiv(s, block_q) * block_q
+    sk_pad = pl.cdiv(sk, block_k) * block_k
+    if causal_skip:
+        # diagonal skipping assumes one shared coordinate system
+        blk = max(block_q, block_k)
+        s_pad = sk_pad = pl.cdiv(s, blk) * blk
     if s_pad != s:
-        pad = s_pad - s
-        q = jnp.pad(q, ((0, 0), (0, 0), (0, pad), (0, 0)))
-        k = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0)))
-        v = jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0)))
-        positions = jnp.pad(positions, ((0, 0), (0, pad)))
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, s_pad - s), (0, 0)))
+        positions = jnp.pad(positions, ((0, 0), (0, s_pad - s)))
+    if sk_pad != sk:
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, sk_pad - sk), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, sk_pad - sk), (0, 0)))
+        k_positions = jnp.pad(k_positions, ((0, 0), (0, sk_pad - sk)))
     nq = s_pad // block_q
-    nk = s_pad // block_k
+    nk = sk_pad // block_k
     grid = (b, h, nq, nk)
+
+    def _skip(iq, ik):
+        if not causal_skip:
+            return None
+        return _below_or_on_diag(iq, block_q, ik, block_k)
 
     def q_map(ib, ih, iq, ik, count_ref):
         return (ib, ih, iq, 0)
 
     def kv_map(ib, ih, iq, ik, count_ref):
-        # skipped (above-diagonal) blocks revisit block 0: no DMA traffic
-        nxt = jax.lax.select(_below_or_on_diag(iq, block_q, ik, block_k), ik, 0)
-        return (ib, ih // g, nxt, 0)
+        if causal_skip:
+            # skipped (above-diagonal) blocks revisit block 0: no DMA traffic
+            ik = jax.lax.select(_below_or_on_diag(iq, block_q, ik, block_k), ik, 0)
+        return (ib, ih // g, ik, 0)
 
     def pq_map(ib, ih, iq, ik, count_ref):
         return (ib, iq)
 
     def pk_map(ib, ih, iq, ik, count_ref):
-        nxt = jax.lax.select(_below_or_on_diag(iq, block_q, ik, block_k), ik, 0)
-        return (ib, nxt)
+        if causal_skip:
+            ik = jax.lax.select(_below_or_on_diag(iq, block_q, ik, block_k), ik, 0)
+        return (ib, ik)
 
     def o_map(ib, ih, iq, ik, count_ref):
         return (ib, ih, iq, 0)
@@ -174,7 +213,17 @@ def flash_attention(
         block_k=block_k,
         num_k_blocks=nk,
         sliding_window=sliding_window,
+        causal_skip=causal_skip,
+        return_aux=return_aux,
     )
+    out_shapes = [jax.ShapeDtypeStruct((b, h, s_pad, d), q.dtype)]
+    out_specs = [pl.BlockSpec((1, 1, block_q, d), o_map)]
+    if return_aux:
+        # row statistics for cross-chunk merging; lane dim is the min 128-wide
+        # tile (only column 0 is meaningful — sliced by the caller)
+        for _ in range(2):
+            out_shapes.append(jax.ShapeDtypeStruct((b, h, s_pad, 128), jnp.float32))
+            out_specs.append(pl.BlockSpec((1, 1, block_q, 128), o_map))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
@@ -185,26 +234,36 @@ def flash_attention(
             pl.BlockSpec((1, block_q), pq_map),
             pl.BlockSpec((1, block_k), pk_map),
         ],
-        out_specs=pl.BlockSpec((1, 1, block_q, d), o_map),
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((block_q, 128), jnp.float32),
             pltpu.VMEM((block_q, 128), jnp.float32),
             pltpu.VMEM((block_q, d), jnp.float32),
         ],
     )
-    flops_per_head = 4 * s * s * d // 2  # causal half
+    denom = 2 if causal_skip else 1
     cost = pl.CostEstimate(
-        flops=b * h * flops_per_head,
+        flops=b * h * 4 * s * sk * d // denom,
         bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize * 2,
-        transcendentals=b * h * s * s // 2,
+        transcendentals=b * h * s * sk // denom,
     )
-    out = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        out_shape=out_shapes,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
         cost_estimate=cost,
-    )(count.astype(jnp.int32), q, k, v, positions.astype(jnp.int32), positions.astype(jnp.int32))
-    return out[:, :, :s, :]
+    )(
+        k_count.astype(jnp.int32),  # kernel masks COLUMNS: key-side count
+        q, k, v,
+        positions.astype(jnp.int32),
+        k_positions.astype(jnp.int32),
+    )
+    out = outs[0][:, :, :s, :]
+    if return_aux:
+        m = outs[1][:, :, :s, 0]
+        l = outs[2][:, :, :s, 0]
+        return out, m, l
+    return out
