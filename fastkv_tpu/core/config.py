@@ -275,9 +275,14 @@ class MethodConfig:
     pyramid_sink_len: int = 4
     pyramid_distance_weight: float = 1.2
     pyramid_downsample_interval: int = 1
-    pyramid_gen_recent_size: int = 1024
+    # generation-stage periodic re-compression (reference gen branch
+    # baselines/pyramidinfer/llama_model.py:1076-1129 + "generation_stage" keys in
+    # pyramidinfer_configs/*.json: gen_decay_ratio, gen_decay_strategy,
+    # gen_compress_ratio, exceed_length_to_compress)
+    pyramid_gen_decay_ratio: float = 1.0
+    pyramid_gen_decay_strategy: str = "cosine"
     pyramid_gen_compress_ratio: float = 0.9
-    pyramid_exceed_length_to_compress: int = 2048
+    pyramid_exceed_length_to_compress: int = 16
 
 
 @dataclasses.dataclass(frozen=True)

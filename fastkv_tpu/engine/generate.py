@@ -84,6 +84,38 @@ class Engine:
             self._prefill_cache[key] = jax.jit(run)
         return self._prefill_cache[key]
 
+    def _pyramid_prefill_fn(self, bucket: int, max_new: int):
+        key = ("pyr", bucket, max_new)
+        if key not in self._prefill_cache:
+            from fastkv_tpu.engine import pyramid
+
+            shapes = self.shapes_for(bucket, max_new)
+
+            def run(params, tokens, n_true):
+                return pyramid.prefill(
+                    params, self.cfg, self.mcfg, self.ecfg, shapes, tokens,
+                    n_true, want_decode_state=True,
+                )
+
+            self._prefill_cache[key] = jax.jit(run)
+        return self._prefill_cache[key]
+
+    def _pyramid_generate_fn(self, bucket: int, max_new: int, num_eos: int, min_new: int):
+        key = ("pyr", bucket, max_new, num_eos, min_new)
+        if key not in self._gen_cache:
+            from fastkv_tpu.engine import pyramid
+
+            shapes = self.shapes_for(bucket, max_new)
+
+            def run(params, first_logits, cache, pstate, n_true, eos_ids):
+                return pyramid.greedy_generate(
+                    params, self.cfg, self.mcfg, shapes, first_logits, cache,
+                    pstate, n_true, max_new, eos_ids if num_eos else None, min_new,
+                )
+
+            self._gen_cache[key] = jax.jit(run)
+        return self._gen_cache[key]
+
     def _pass2_engine(self) -> "Engine":
         """FullKV-semantics engine for GemFilter's second pass."""
         if not hasattr(self, "_p2"):
@@ -131,6 +163,14 @@ class Engine:
             result, _ = eng2.generate_fn(
                 cap, max_new_tokens, len(eos_ids), min_new_tokens
             )(self.params, logits, cache, new_count, eos_arr)
+        elif self.mcfg.method == Method.PYRAMIDINFER:
+            logits, cache, pstate = self._pyramid_prefill_fn(bucket, max_new_tokens)(
+                self.params, tokens, n_true
+            )
+            eos_arr = jnp.asarray(list(eos_ids) or [0], jnp.int32)
+            result, _ = self._pyramid_generate_fn(
+                bucket, max_new_tokens, len(eos_ids), min_new_tokens
+            )(self.params, logits, cache, pstate, n_true, eos_arr)
         else:
             logits, cache = self.prefill_fn(bucket, max_new_tokens)(
                 self.params, tokens, n_true
