@@ -284,6 +284,74 @@ class MethodConfig:
     pyramid_gen_compress_ratio: float = 0.9
     pyramid_exceed_length_to_compress: int = 16
 
+    def with_pyramidinfer_json(self, source) -> "MethodConfig":
+        """Overlay a reference-format pyramidinfer config (path, dict or file).
+
+        Schema: {"prefill_stage": {recent_ratio, prefill_decay_ratio,
+        prefill_decay_strategy, min_context_length,
+        layerwise_downsample_interval, streamingllm_sink_len, distance_weight},
+        "generation_stage": {gen_decay_ratio, gen_decay_strategy,
+        gen_compress_ratio, exceed_length_to_compress}} — the shape consumed by
+        the reference's load_pyramid_config (baselines/pyramidinfer/utils.py:8-17)
+        and shipped in baselines/pyramidinfer/pyramidinfer_configs/*.json.
+        """
+        if isinstance(source, str):
+            with open(source) as f:
+                data = json.load(f)
+        elif hasattr(source, "read"):
+            data = json.load(source)
+        else:
+            data = source
+        p = data.get("prefill_stage", {})
+        g = data.get("generation_stage", {})
+        return dataclasses.replace(
+            self,
+            method=Method.PYRAMIDINFER,
+            pyramid_recent_ratio=p.get("recent_ratio", self.pyramid_recent_ratio),
+            pyramid_decay_ratio=p.get("prefill_decay_ratio", self.pyramid_decay_ratio),
+            pyramid_decay_strategy=p.get(
+                "prefill_decay_strategy", self.pyramid_decay_strategy),
+            pyramid_min_context_length=p.get(
+                "min_context_length", self.pyramid_min_context_length),
+            pyramid_downsample_interval=p.get(
+                "layerwise_downsample_interval", self.pyramid_downsample_interval),
+            pyramid_sink_len=p.get("streamingllm_sink_len", self.pyramid_sink_len),
+            pyramid_distance_weight=p.get(
+                "distance_weight", self.pyramid_distance_weight),
+            pyramid_gen_decay_ratio=g.get(
+                "gen_decay_ratio", self.pyramid_gen_decay_ratio),
+            pyramid_gen_decay_strategy=g.get(
+                "gen_decay_strategy", self.pyramid_gen_decay_strategy),
+            pyramid_gen_compress_ratio=g.get(
+                "gen_compress_ratio", self.pyramid_gen_compress_ratio),
+            pyramid_exceed_length_to_compress=g.get(
+                "exceed_length_to_compress", self.pyramid_exceed_length_to_compress),
+        )
+
+    def with_pyramidinfer_preset(self, model_name: str, retain_rate: float) -> "MethodConfig":
+        """Pick the shipped pyramidinfer config by (model family, retain rate),
+        mirroring the reference's hard-coded path selection + asserts
+        (baselines/monkeypatch.py:153-193)."""
+        import os
+
+        fam = "llama"
+        low = model_name.lower()
+        if "nemo" in low:
+            fam = "nemo"
+        elif "ministral" in low or "mistral" in low:
+            fam = "ministral"
+        key = f"{fam}_{int(round(retain_rate * 100))}"
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "configs", "pyramidinfer", key + ".json",
+        )
+        if not os.path.exists(path):
+            raise NotImplementedError(
+                f"No pyramidinfer config for model={model_name!r} "
+                f"retain_rate={retain_rate} (looked for {path})"
+            )
+        return self.with_pyramidinfer_json(path)
+
 
 @dataclasses.dataclass(frozen=True)
 class ParallelConfig:

@@ -82,15 +82,17 @@ def plan_layer_lengths(
 ) -> List[int]:
     """Static per-layer sequence capacities [num_layers + 1] (input of layer l)."""
     recent_cap = int(bucket * mcfg.pyramid_recent_ratio)
+    # reference adjusts min_context_length to the prompt (:991)
+    min_ctx = min(mcfg.pyramid_min_context_length, bucket - 1 - recent_cap)
     lengths = [bucket]
     s = bucket
     for l in range(cfg.num_layers):
         r = decay_ratio(mcfg, l, cfg.num_layers)
         ctx = s - (1 + recent_cap)
         compresses = (l % mcfg.pyramid_downsample_interval) == 0
-        if compresses and ctx > mcfg.pyramid_min_context_length and r < 1.0:
+        if compresses and ctx > min_ctx and r < 1.0:
             topk = int(ctx * r)
-            if topk <= mcfg.pyramid_min_context_length:
+            if topk <= min_ctx:
                 topk = ctx
             new_s = min(round_up(topk + 1 + recent_cap, align), s)
         else:
@@ -308,9 +310,11 @@ def prefill(
             topk_dyn = jnp.floor(ctx_dyn.astype(jnp.float32) * r).astype(jnp.int32)
             # keep everything when target falls below min_context_length or the
             # context itself is small (reference :1057-1060)
-            keep_all = (ctx_dyn <= mcfg.pyramid_min_context_length) | (
-                topk_dyn <= mcfg.pyramid_min_context_length
+            # reference adjusts min_context_length to the prompt (:991)
+            min_ctx_dyn = jnp.minimum(
+                mcfg.pyramid_min_context_length, n_true - 1 - recent_dyn
             )
+            keep_all = (ctx_dyn <= min_ctx_dyn) | (topk_dyn <= min_ctx_dyn)
             topk_dyn = jnp.where(keep_all, ctx_dyn, topk_dyn)
             ctx_keep_cap = max(new_cap - 1 - recent_cap, 1)
             top_idx, top_valid = selection.topk_select(

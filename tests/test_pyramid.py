@@ -241,3 +241,35 @@ def test_gen_stage_matches_reference_port():
         assert got == want, f"layer {l}: kept-position sets differ"
         evicted_any |= len(want) < 250 + gen_steps - 1
     assert evicted_any  # the gen stage actually fired
+
+
+def test_pyramidinfer_config_loader_and_presets():
+    mcfg = MethodConfig().with_pyramidinfer_preset("Meta-Llama-3.1-8B-Instruct", 0.35)
+    assert mcfg.method == Method.PYRAMIDINFER
+    # reference asserts for the 35% llama config (baselines/monkeypatch.py:158-161)
+    assert mcfg.pyramid_decay_ratio == 0.01 and mcfg.pyramid_recent_ratio == 0.01
+    m60 = MethodConfig().with_pyramidinfer_preset("Ministral-8B-Instruct-2410", 0.6)
+    assert m60.pyramid_decay_ratio == 0.75 and m60.pyramid_recent_ratio == 0.2
+    assert m60.pyramid_exceed_length_to_compress == 16
+    nemo = MethodConfig().with_pyramidinfer_preset("Mistral-Nemo-Instruct-2407", 0.6)
+    assert nemo.pyramid_decay_ratio == 0.78
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError):
+        MethodConfig().with_pyramidinfer_preset("Meta-Llama-3.1-8B", 0.42)
+
+
+def test_calibration_analytic_matches_engine():
+    import jax.numpy as jnp
+    from fastkv_tpu.bench.calibrate import analytic_retain_rate, empirical_retain_rate
+
+    cfg = ModelConfig.tiny()
+    mcfg = MethodConfig(method=Method.PYRAMIDINFER, pyramid_decay_ratio=0.3,
+                        pyramid_recent_ratio=0.1, pyramid_min_context_length=16)
+    # align=1: static plan == dynamic reference schedule exactly
+    a1 = analytic_retain_rate(cfg, mcfg, 512, align=1)
+    e1 = empirical_retain_rate(cfg, mcfg, 512, align=1)
+    assert abs(a1 - e1) < 1e-6
+    # align>1 rounds static capacities up: measured <= analytic, within align/seq per layer
+    a8 = analytic_retain_rate(cfg, mcfg, 512, align=8)
+    e8 = empirical_retain_rate(cfg, mcfg, 512, align=8)
+    assert e8 <= a8 + 1e-6 and a8 - e8 < 8 / 512
