@@ -59,7 +59,8 @@ def bench_method(method_name, cfg, params, ctx, genlen, ecfg_kw):
     pf = jax.jit(lambda p, t, n: prefill_mod.prefill(p, cfg, mcfg, ecfg, shapes, t, n))
     gg = jax.jit(
         lambda p, fl, c, n: decode_mod.greedy_generate(
-            p, cfg, mcfg, shapes, fl, c, n, genlen, None, 1
+            p, cfg, mcfg, shapes, fl, c, n, genlen, None, 1,
+            use_pallas=ecfg.decode_pallas,
         ),
         donate_argnums=(2,),
     )
@@ -127,6 +128,9 @@ def main():
         ctx = int(os.environ.get("FASTKV_BENCH_CTX", "131072"))
         genlen = int(os.environ.get("FASTKV_BENCH_GEN", "128"))
         ecfg_kw = dict(use_pallas=os.environ.get("FASTKV_BENCH_PALLAS", "1") == "1")
+        dp = os.environ.get("FASTKV_BENCH_DECODE_PALLAS")
+        if dp is not None:
+            ecfg_kw["decode_use_pallas"] = dp == "1"
 
     dev = jax.devices()[0]
     log(f"device: {dev.device_kind}, model: {cfg.name}, ctx={ctx}, genlen={genlen}")

@@ -125,7 +125,10 @@ def bench_e2e(args, cfg, params, mcfg, ecfg_kw, ctx: int):
     n = jnp.full((args.batch,), ctx, jnp.int32)
     pf = jax.jit(lambda p, t, nn: pm.prefill(p, cfg, mcfg, ecfg, shapes, t, nn))
     gg = jax.jit(
-        lambda p, fl, c, nn: dm.greedy_generate(p, cfg, mcfg, shapes, fl, c, nn, genlen, None, 1),
+        lambda p, fl, c, nn: dm.greedy_generate(
+            p, cfg, mcfg, shapes, fl, c, nn, genlen, None, 1,
+            use_pallas=ecfg.decode_pallas,
+        ),
         donate_argnums=(2,),
     )
     logits, cache = pf(params, tokens, n)

@@ -386,7 +386,15 @@ class EngineConfig:
     capacity_align: int = 128
     greedy: bool = True
     use_pallas: bool = True  # use Pallas kernels on TPU; False = pure-XLA path
+    # decode attention kernel choice: None = follow use_pallas
+    decode_use_pallas: Optional[bool] = None
     decode_block: int = 256  # decode-cache growth granularity
+
+    @property
+    def decode_pallas(self) -> bool:
+        if self.decode_use_pallas is None:
+            return self.use_pallas
+        return self.decode_use_pallas
 
 
 def round_up(x: int, m: int) -> int:

@@ -49,6 +49,7 @@ def decode_step(
     token: jnp.ndarray,  # [b] int32
     pos: jnp.ndarray,  # [b] int32 — original position of this token
     slot: jnp.ndarray,  # int32 scalar (uniform) or [b] (per-example) cache slot
+    use_pallas: bool = False,
 ) -> Tuple[jnp.ndarray, KVCache]:
     """One decode step. Returns (logits [b, V] fp32, updated cache).
 
@@ -91,10 +92,18 @@ def decode_step(
         v_all = write(v_all, l, v_new.astype(v_all.dtype))
         pos_all = write(pos_all, l, pos_blk)
         valid_all = write(valid_all, l, jnp.ones((b, ch, 1), bool))
-        attn = att.decode_attention(
-            q, k_all[l], v_all[l], valid_all[l],
-            q_pos=pos, k_pos=pos_all[l], sliding_window=cfg.sliding_window,
-        )
+        if use_pallas:
+            from fastkv_tpu.ops import decode_attn
+
+            attn = decode_attn.decode_attention(
+                q, k_all[l], v_all[l], valid_all[l],
+                q_pos=pos, k_pos=pos_all[l], sliding_window=cfg.sliding_window,
+            )
+        else:
+            attn = att.decode_attention(
+                q, k_all[l], v_all[l], valid_all[l],
+                q_pos=pos, k_pos=pos_all[l], sliding_window=cfg.sliding_window,
+            )
         h = h + llama.attn_out_proj(lp, attn)
         h = h + llama.mlp(lp, llama.rms_norm(h, lp["ln_mlp"], cfg.rms_norm_eps))
 
@@ -119,6 +128,7 @@ def greedy_generate(
     max_new_tokens: int,
     eos_ids: Optional[jnp.ndarray] = None,  # [E] int32 or None
     min_new_tokens: int = 1,
+    use_pallas: bool = False,
 ) -> Tuple[GenResult, KVCache]:
     """Greedy decoding as a lax.scan over steps (cache as carry).
 
@@ -152,7 +162,9 @@ def greedy_generate(
         cache, tok, done = carry
         pos = n_true + step  # original-position continuation
         slot = shapes.prefill_capacity + step
-        logits, cache = decode_step(params, cfg, mcfg, cache, tok, pos, slot)
+        logits, cache = decode_step(
+            params, cfg, mcfg, cache, tok, pos, slot, use_pallas=use_pallas
+        )
         nxt = jnp.where(done, 0, sample(logits, step + 1))
         new_done = done | is_eos(nxt)
         return (cache, nxt, new_done), (nxt, done)

@@ -64,6 +64,7 @@ class Engine:
                 return decode_mod.greedy_generate(
                     params, self.cfg, self.mcfg, shapes, first_logits, cache,
                     n_true, max_new, eos_ids if num_eos else None, min_new,
+                    use_pallas=self.ecfg.decode_pallas,
                 )
 
             self._gen_cache[key] = jax.jit(run)

@@ -62,17 +62,36 @@ def plan_shapes(
     align = ecfg.capacity_align
     decode_cap = round_up(ecfg.max_new_tokens, align)
     m = mcfg.method
+
+    def finish(shapes: PrefillShapes) -> PrefillShapes:
+        """Align TOTAL cache capacity to the Pallas decode kernel's block so
+        decode_attention never pads (a pad would copy the whole cache every
+        step — measured 2x decode slowdown). Extra tail slots are invalid-
+        masked; the only cost is streaming them (<= one block per layer)."""
+        if not ecfg.decode_pallas:
+            return shapes
+        total = shapes.prefill_capacity + shapes.decode_capacity
+        a = 1024 if total < 32768 else 2048
+        extra = (-total) % a
+        if extra:
+            shapes = dataclasses.replace(
+                shapes, decode_capacity=shapes.decode_capacity + extra
+            )
+        return shapes
+
     if m in (Method.FULLKV, Method.GEMFILTER, Method.PYRAMIDINFER):
         # pyramidinfer: per-layer contents shrink with depth but share one
         # uniform (validity-masked) capacity so layers stack
-        return PrefillShapes(n_bucket, n_bucket, n_bucket, n_bucket, decode_cap)
+        return finish(
+            PrefillShapes(n_bucket, n_bucket, n_bucket, n_bucket, decode_cap)
+        )
     if m == Method.STREAMINGLLM:
         if mcfg.eviction_mode == "proportional":
             cap = int(n_bucket * mcfg.retain_rate)
         else:
             cap = mcfg.max_capacity_prompt
         cap = min(round_up(max(cap, 8), align), n_bucket)
-        return PrefillShapes(n_bucket, cap, cap, n_bucket, decode_cap)
+        return finish(PrefillShapes(n_bucket, cap, cap, n_bucket, decode_cap))
     # score-based: fastkv / snapkv / h2o (pyramidinfer has its own planner)
     bud_a = budgets.static_prefill_budget(mcfg, n_bucket, is_post_tsp=False, align=align)
     keep_cap = bud_a.keep_capacity
@@ -82,7 +101,9 @@ def plan_shapes(
         bud_b = budgets.static_prefill_budget(mcfg, tsp_cap, is_post_tsp=True, align=align)
         keep_cap = max(keep_cap, bud_b.keep_capacity)
     prefill_cap = min(keep_cap + mcfg.window_size, n_bucket)
-    return PrefillShapes(n_bucket, prefill_cap, keep_cap, tsp_cap, decode_cap)
+    return finish(
+        PrefillShapes(n_bucket, prefill_cap, keep_cap, tsp_cap, decode_cap)
+    )
 
 
 class SeqState(NamedTuple):

@@ -110,7 +110,8 @@ class Scheduler:
         )
         self._step = jax.jit(
             lambda p, c, tok, pos, slots: decode_mod.decode_step(
-                p, cfg, mcfg, c, tok, pos, slots
+                p, cfg, mcfg, c, tok, pos, slots,
+                use_pallas=self.ecfg.decode_pallas,
             ),
             donate_argnums=(1,),
         )

@@ -45,8 +45,10 @@ def _kernel(
     q_ref,  # [1, 1, bq, d]
     k_ref,  # [1, 1, bk, d]
     v_ref,  # [1, 1, bk, d]
-    pq_ref,  # [1, bq] int32 query positions
-    pk_ref,  # [1, bk] int32 key positions
+    pq_ref,  # [1, 1, bq] int32 query positions (singleton second-minor dim:
+    #   Mosaic requires second-minor block dims divisible by 8 or equal to the
+    #   array dim, so [b, s] with block (1, bq) is rejected when b > 1)
+    pk_ref,  # [1, 1, bk] int32 key positions
     # outputs
     o_ref,  # [1, 1, bq, d]
     *rest,  # optional (m_out, l_out) refs when return_aux, then scratch
@@ -91,8 +93,8 @@ def _kernel(
         # NOTE: a lax.cond that skips mask construction on interior blocks was
         # tried and REGRESSED (Mosaic duplicates branch buffers: -25% perf and
         # VMEM OOM at 1024x1024 blocks); unconditional masking wins.
-        pq = pq_ref[0].astype(jnp.int32)  # [bq]
-        pk = pk_ref[0].astype(jnp.int32)  # [bk]
+        pq = pq_ref[0, 0].astype(jnp.int32)  # [bq]
+        pk = pk_ref[0, 0].astype(jnp.int32)  # [bk]
         col_idx = ik * block_k + jax.lax.broadcasted_iota(
             jnp.int32, (block_q, block_k), 1
         )
@@ -196,12 +198,12 @@ def flash_attention(
         return (ib, ih // g, ik, 0)
 
     def pq_map(ib, ih, iq, ik, count_ref):
-        return (ib, iq)
+        return (ib, 0, iq)
 
     def pk_map(ib, ih, iq, ik, count_ref):
         if causal_skip:
             ik = jax.lax.select(_below_or_on_diag(iq, block_q, ik, block_k), ik, 0)
-        return (ib, ik)
+        return (ib, 0, ik)
 
     def o_map(ib, ih, iq, ik, count_ref):
         return (ib, ih, iq, 0)
@@ -231,8 +233,8 @@ def flash_attention(
             pl.BlockSpec((1, 1, block_q, d), q_map),
             pl.BlockSpec((1, 1, block_k, d), kv_map),
             pl.BlockSpec((1, 1, block_k, d), kv_map),
-            pl.BlockSpec((1, block_q), pq_map),
-            pl.BlockSpec((1, block_k), pk_map),
+            pl.BlockSpec((1, 1, block_q), pq_map),
+            pl.BlockSpec((1, 1, block_k), pk_map),
         ],
         out_specs=out_specs,
         scratch_shapes=[
@@ -258,8 +260,8 @@ def flash_attention(
     )(
         k_count.astype(jnp.int32),  # kernel masks COLUMNS: key-side count
         q, k, v,
-        positions.astype(jnp.int32),
-        k_positions.astype(jnp.int32),
+        positions.astype(jnp.int32)[:, None, :],
+        k_positions.astype(jnp.int32)[:, None, :],
     )
     out = outs[0][:, :, :s, :]
     if return_aux:
