@@ -386,14 +386,19 @@ class EngineConfig:
     capacity_align: int = 128
     greedy: bool = True
     use_pallas: bool = True  # use Pallas kernels on TPU; False = pure-XLA path
-    # decode attention kernel choice: None = follow use_pallas
+    # Decode attention kernel choice. None = XLA (the default even when
+    # use_pallas is set): XLA's fused decode attention measures AT the HBM
+    # roofline at 128K ctx on v5e (~800 GB/s effective; bench.py end-to-end
+    # confirms), while the Pallas decode kernel regressed end-to-end decode
+    # (fullkv 102 -> 20 tok/s at 128K). The kernel remains available opt-in
+    # for experimentation (ops/decode_attn.py).
     decode_use_pallas: Optional[bool] = None
     decode_block: int = 256  # decode-cache growth granularity
 
     @property
     def decode_pallas(self) -> bool:
         if self.decode_use_pallas is None:
-            return self.use_pallas
+            return False
         return self.decode_use_pallas
 
 

@@ -5,12 +5,19 @@ TPU-native replacement for the reference's single-token flash decode call
 branch; benchmark/e2e.py:172-180 times exactly this loop). Correctness
 reference: fastkv_tpu.ops.attention.decode_attention (XLA path).
 
+STATUS: correct but OPT-IN (EngineConfig.decode_use_pallas=True). Measured
+end-to-end on v5e at 128K ctx this kernel REGRESSES decode vs the XLA path
+(fullkv 102 -> 20 tok/s; fastkv 224 -> 175 tok/s): XLA's fused decode
+attention already runs at the HBM roofline (~800 GB/s effective at 128K —
+the [b, H, C] logits tensor it materializes is 64x smaller than K/V at
+GQA 4:1 and fuses away), so there is no bandwidth left to win, and this
+kernel's per-(kv-head, block) grid serialization loses pipelining that XLA
+gets for free. Kept for small-cache experimentation and as the starting
+point for a future batched/paged decode where XLA fusion breaks down.
+
 Design notes (decode is HBM-bandwidth-bound, not FLOP-bound):
   * One grid step per (batch, cache-head, cache-block): K and V stream through
-    VMEM exactly once; QK^T, masking, online softmax and P·V are fused so no
-    [b, heads, C] logits tensor ever round-trips to HBM (the XLA path
-    materializes it — at full-KV 128K that is an extra ~3 passes over a
-    C-length tensor per head).
+    VMEM exactly once; QK^T, masking, online softmax and P·V are fused.
   * GQA native: the g = H/KH query heads of one kv head are the rows of the
     block matmuls, so grouping costs nothing and K/V are read once per kv head
     (not per query head).
