@@ -194,6 +194,8 @@ def _keep_set_for_layer(
     q: jnp.ndarray,
     k: jnp.ndarray,
     is_post_tsp: bool,
+    precomputed_scores=None,  # (raw, selectable, win_idx, win_valid) from the
+    #   fused Pallas kernel (flash_prefill window_q path); skips the XLA pass
 ) -> Tuple[methods.KeepSet, Optional[Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]]]:
     """Compute this layer's cache keep-set. Also returns the raw window-score
     context (scores, selectable, win_idx, win_valid) for TSP reuse at the TSP
@@ -209,12 +211,15 @@ def _keep_set_for_layer(
         ks = methods.streamingllm_keep(mcfg, ch, b, state.count, shapes.prefill_capacity)
         return ks, None
     k_budget = budgets.dynamic_keep_budget(mcfg, state.count, is_post_tsp)
-    q_win, win_idx, win_valid = _window_rows(q, state, mcfg.window_size)
-    if m == Method.H2O:
+    if precomputed_scores is not None:
+        raw, selectable, win_idx, win_valid = precomputed_scores
+    elif m == Method.H2O:
         raw = att.h2o_scores(q, k, state.valid, state.n_orig, mcfg.window_size)
         col_in_window = state.positions >= (state.n_orig[:, None] - mcfg.window_size)
         selectable = state.valid & (~col_in_window)
+        _, win_idx, win_valid = _window_rows(q, state, mcfg.window_size)
     else:
+        q_win, win_idx, win_valid = _window_rows(q, state, mcfg.window_size)
         raw, selectable = _window_scores(
             q_win, k, win_idx, win_valid, state, mcfg.window_size
         )
@@ -274,17 +279,40 @@ def make_layer_fn(
 
     inv_freq = jnp.asarray(compute_inv_freq(cfg))
 
+    # fastkv/snapkv under Pallas: the observation-window scoring fuses into the
+    # flash kernel (keys stream through VMEM once for attention AND scoring),
+    # replacing the separate O(W*s) XLA pass + K re-read
+    fused_scores = ecfg.use_pallas and mcfg.method in (Method.FASTKV, Method.SNAPKV)
+
     def layer_fn(state: SeqState, lp: Dict[str, jnp.ndarray]):
         h = state.h
         hn = llama.rms_norm(h, lp["ln_attn"], cfg.rms_norm_eps)
         q, k, v = llama.qkv_proj(lp, cfg, hn)
         q, k = llama.rope_qk(q, k, state.positions, inv_freq)
-        attn = _attend(cfg, q, k, v, state, ecfg.use_pallas)
+        precomputed = None
+        if fused_scores:
+            from fastkv_tpu.ops import flash_prefill
+
+            q_win, win_idx, win_valid = _window_rows(q, state, mcfg.window_size)
+            qw_pos = jnp.take_along_axis(state.positions, win_idx, axis=1)
+            qw_pos = jnp.where(win_valid, qw_pos, -1)
+            attn, raw = flash_prefill.flash_attention(
+                q, k, v, state.positions, state.count,
+                sliding_window=cfg.sliding_window,
+                window_q=q_win, window_q_pos=qw_pos,
+            )
+            col_in_window = state.positions >= (state.n_orig[:, None] - mcfg.window_size)
+            selectable = state.valid & (~col_in_window)
+            raw = jnp.where(selectable[:, None, :], raw, 0.0)
+            precomputed = (raw, selectable, win_idx, win_valid)
+        else:
+            attn = _attend(cfg, q, k, v, state, ecfg.use_pallas)
         h = h + llama.attn_out_proj(lp, attn)
         h = h + llama.mlp(lp, llama.rms_norm(h, lp["ln_mlp"], cfg.rms_norm_eps))
 
         keep, score_ctx = _keep_set_for_layer(
-            cfg, mcfg, shapes, state, q, k, is_post_tsp
+            cfg, mcfg, shapes, state, q, k, is_post_tsp,
+            precomputed_scores=precomputed,
         )
         cache_layer = _gather_cache(
             cfg, mcfg.method, k, v, state, keep, shapes.decode_capacity

@@ -15,8 +15,20 @@ Engine-specific semantics:
   * Online softmax with unnormalized fp32 accumulator; block-level causal
     skipping redirects the K/V index map to block 0 on skipped blocks so the
     upper triangle costs neither FLOPs nor DMA bandwidth.
+  * Fused observation-window score accumulation (SnapKV/FastKV TSP): the
+    reference pays a second W x n QK^T pass with a full-row fp32 softmax to
+    score keys (reference: baselines/fastkv/utils.py:94-104 and
+    baselines/snapkv/utils.py:72-88) — a full re-read of K from HBM. Here the
+    last-W-query-rows strip is scored *inside* the flash kernel: at each
+    diagonal grid step (iq == ik) the resident K block also multiplies the
+    window queries, and the raw masked logits land in a persistent
+    [W, s_pad] fp32 VMEM scratch. The final grid step runs the exact softmax
+    over the whole strip (true row max/sum — no online-rescale approximation)
+    and emits per-query-head column scores. Keys stream through VMEM once for
+    both attention and scoring.
 
-Correctness reference: fastkv_tpu.ops.attention.chunked_causal_attention.
+Correctness references: fastkv_tpu.ops.attention.chunked_causal_attention and
+fastkv_tpu.engine.prefill._window_scores (the unfused XLA scoring pass).
 """
 
 from __future__ import annotations
@@ -49,22 +61,33 @@ def _kernel(
     #   Mosaic requires second-minor block dims divisible by 8 or equal to the
     #   array dim, so [b, s] with block (1, bq) is rejected when b > 1)
     pk_ref,  # [1, 1, bk] int32 key positions
-    # outputs
-    o_ref,  # [1, 1, bq, d]
-    *rest,  # optional (m_out, l_out) refs when return_aux, then scratch
+    *rest,  # [qw_ref, qwpos_ref] when window_scores, then outputs, then scratch
     scale: float,
     block_q: int,
     block_k: int,
+    num_q_blocks: int,
     num_k_blocks: int,
     sliding_window: Optional[int],
     causal_skip: bool,
     return_aux: bool,
+    window_scores: int,  # 0 = off; else number of window rows (padded to 8)
 ):
+    i = 0
+    if window_scores:
+        qw_ref, qwpos_ref = rest[i], rest[i + 1]  # [1,1,Wp,d], [1,Wp,128]
+        i += 2
+    o_ref = rest[i]  # [1, 1, bq, d]
+    i += 1
     if return_aux:
-        m_out, l_out = rest[0], rest[1]
-        m_scr, l_scr, acc_scr = rest[2], rest[3], rest[4]
-    else:
-        m_scr, l_scr, acc_scr = rest[0], rest[1], rest[2]
+        m_out, l_out = rest[i], rest[i + 1]
+        i += 2
+    if window_scores:
+        scores_out = rest[i]  # [1, 1, 1, sk_pad]
+        i += 1
+    m_scr, l_scr, acc_scr = rest[i], rest[i + 1], rest[i + 2]
+    i += 3
+    if window_scores:
+        strip_scr = rest[i]  # [Wp, sk_pad] fp32 raw logits
     ib = pl.program_id(0)
     iq = pl.program_id(2)
     ik = pl.program_id(3)
@@ -119,6 +142,39 @@ def _kernel(
         m_scr[...] = jnp.broadcast_to(m_new, m_scr.shape)
         l_scr[...] = jnp.broadcast_to(l_new, l_scr.shape)
 
+    if window_scores:
+        # Diagonal steps see every K block exactly once (causal_skip implies a
+        # shared block coordinate system, nq == nk): score the window strip
+        # against the K block already resident in VMEM. Raw masked logits are
+        # staged in strip_scr; the softmax is deferred to the last grid step so
+        # it uses the true row max/denominator (exact, not online-rescaled).
+        @pl.when(iq == ik)
+        def _strip():
+            qw = qw_ref[0, 0]  # [Wp, d]
+            kk = k_ref[0, 0]  # [bk, d]
+            sw = jax.lax.dot_general(
+                qw, kk, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale  # [Wp, bk]
+            pw = qwpos_ref[0][:, :1]  # [Wp, 1]; -1 marks invalid window rows
+            pk = pk_ref[0, 0].astype(jnp.int32)  # [bk]
+            col_idx = ik * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (window_scores, block_k), 1
+            )
+            wmask = (pk[None, :] <= pw) & (col_idx < count_ref[ib]) & (pw >= 0)
+            sw = jnp.where(wmask, sw, NEG_INF)
+            strip_scr[:, pl.ds(ik * block_k, block_k)] = sw
+
+        @pl.when((iq == num_q_blocks - 1) & (ik == num_k_blocks - 1))
+        def _strip_finalize():
+            strip = strip_scr[...]  # [Wp, sk_pad]
+            m = jnp.max(strip, axis=1, keepdims=True)
+            row_valid = m > NEG_INF / 2
+            p = jnp.where(row_valid, jnp.exp(strip - m), 0.0)
+            l = jnp.sum(p, axis=1, keepdims=True)
+            inv = jnp.where(l > 0.0, 1.0 / jnp.where(l > 0.0, l, 1.0), 0.0)
+            scores_out[0, 0] = jnp.sum(p * inv, axis=0, keepdims=True)
+
     @pl.when(ik == num_k_blocks - 1)
     def _finalize():
         l = l_scr[:, :1]
@@ -150,6 +206,12 @@ def flash_attention(
     k_positions: Optional[jnp.ndarray] = None,  # [b, sk] when k/v come from a
     #   different chunk than q (ring); defaults to `positions`
     k_count: Optional[jnp.ndarray] = None,  # [b] valid keys; defaults to count
+    window_q: Optional[jnp.ndarray] = None,  # [b, H, W, d] observation-window
+    #   query rows (post-RoPE); enables fused SnapKV/TSP scoring — the kernel
+    #   additionally returns per-query-head key scores [b, H, sk] fp32 (the
+    #   full-row softmax of the window strip, column-summed over window rows).
+    window_q_pos: Optional[jnp.ndarray] = None,  # [b, W] int32 original
+    #   positions of the window rows; -1 marks invalid (short-prompt) rows
 ):
     b, h, s, d = q.shape
     kh = k.shape[1]
@@ -162,6 +224,17 @@ def flash_attention(
     causal_skip = pattern == "causal" and sk == s
     block_q = min(block_q, s)
     block_k = min(block_k, sk)
+    wp = 0
+    if window_q is not None:
+        # fused scoring relies on the shared diagonal coordinate system
+        assert causal_skip, "window scoring requires causal prefill (sk == s)"
+        w = window_q.shape[2]
+        wp = ((w + 7) // 8) * 8  # fp32 sublane tile
+        if wp != w:
+            window_q = jnp.pad(window_q, ((0, 0), (0, 0), (0, wp - w), (0, 0)))
+            window_q_pos = jnp.pad(
+                window_q_pos, ((0, 0), (0, wp - w)), constant_values=-1
+            )
     # Mosaic's implicit edge-block padding corrupts partial blocks on real TPU
     # (observed: NaN in the valid rows of a trailing partial q block), so pad
     # sequences to block multiples explicitly; zero-padded keys are masked via
@@ -213,11 +286,40 @@ def flash_attention(
         scale=d**-0.5,
         block_q=block_q,
         block_k=block_k,
+        num_q_blocks=nq,
         num_k_blocks=nk,
         sliding_window=sliding_window,
         causal_skip=causal_skip,
         return_aux=return_aux,
+        window_scores=wp,
     )
+    in_specs = [
+        pl.BlockSpec((1, 1, block_q, d), q_map),
+        pl.BlockSpec((1, 1, block_k, d), kv_map),
+        pl.BlockSpec((1, 1, block_k, d), kv_map),
+        pl.BlockSpec((1, 1, block_q), pq_map),
+        pl.BlockSpec((1, 1, block_k), pk_map),
+    ]
+    inputs = [
+        q, k, v,
+        positions.astype(jnp.int32)[:, None, :],
+        k_positions.astype(jnp.int32)[:, None, :],
+    ]
+    if wp:
+        in_specs.append(
+            pl.BlockSpec((1, 1, wp, d), lambda ib, ih, iq, ik, c: (ib, ih, 0, 0))
+        )
+        inputs.append(window_q)
+        # positions broadcast across the 128-lane dim so the kernel can read a
+        # [Wp, 1] column without lane-dim slicing
+        in_specs.append(
+            pl.BlockSpec((1, wp, 128), lambda ib, ih, iq, ik, c: (ib, 0, 0))
+        )
+        inputs.append(
+            jnp.broadcast_to(
+                window_q_pos.astype(jnp.int32)[:, :, None], (b, wp, 128)
+            )
+        )
     out_shapes = [jax.ShapeDtypeStruct((b, h, s_pad, d), q.dtype)]
     out_specs = [pl.BlockSpec((1, 1, block_q, d), o_map)]
     if return_aux:
@@ -226,22 +328,25 @@ def flash_attention(
         for _ in range(2):
             out_shapes.append(jax.ShapeDtypeStruct((b, h, s_pad, 128), jnp.float32))
             out_specs.append(pl.BlockSpec((1, 1, block_q, 128), o_map))
+    scratch_shapes = [
+        pltpu.VMEM((block_q, 128), jnp.float32),
+        pltpu.VMEM((block_q, 128), jnp.float32),
+        pltpu.VMEM((block_q, d), jnp.float32),
+    ]
+    if wp:
+        out_shapes.append(jax.ShapeDtypeStruct((b, h, 1, sk_pad), jnp.float32))
+        out_specs.append(
+            pl.BlockSpec(
+                (1, 1, 1, sk_pad), lambda ib, ih, iq, ik, c: (ib, ih, 0, 0)
+            )
+        )
+        scratch_shapes.append(pltpu.VMEM((wp, sk_pad), jnp.float32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 1, block_q, d), q_map),
-            pl.BlockSpec((1, 1, block_k, d), kv_map),
-            pl.BlockSpec((1, 1, block_k, d), kv_map),
-            pl.BlockSpec((1, 1, block_q), pq_map),
-            pl.BlockSpec((1, 1, block_k), pk_map),
-        ],
+        in_specs=in_specs,
         out_specs=out_specs,
-        scratch_shapes=[
-            pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, d), jnp.float32),
-        ],
+        scratch_shapes=scratch_shapes,
     )
     denom = 2 if causal_skip else 1
     cost = pl.CostEstimate(
@@ -249,23 +354,22 @@ def flash_attention(
         bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize * 2,
         transcendentals=b * h * s * sk // denom,
     )
+    # the score strip accumulates across q rows -> iq must stay sequential
+    iq_sem = "arbitrary" if wp else "parallel"
     outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shapes,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            dimension_semantics=("parallel", "parallel", iq_sem, "arbitrary"),
         ),
         cost_estimate=cost,
-    )(
-        k_count.astype(jnp.int32),  # kernel masks COLUMNS: key-side count
-        q, k, v,
-        positions.astype(jnp.int32)[:, None, :],
-        k_positions.astype(jnp.int32)[:, None, :],
-    )
+    )(k_count.astype(jnp.int32), *inputs)  # kernel masks COLUMNS: key-side count
     out = outs[0][:, :, :s, :]
+    ret = [out]
     if return_aux:
-        m = outs[1][:, :, :s, 0]
-        l = outs[2][:, :, :s, 0]
-        return out, m, l
-    return out
+        ret.append(outs[1][:, :, :s, 0])
+        ret.append(outs[2][:, :, :s, 0])
+    if wp:
+        ret.append(outs[-1][:, :, 0, :sk])
+    return ret[0] if len(ret) == 1 else tuple(ret)

@@ -65,3 +65,93 @@ def test_flash_gqa_batch():
     for i in range(2):
         vi = np.asarray(valid)[i]
         np.testing.assert_allclose(out[i][:, vi], ref[i][:, vi], atol=2e-5, rtol=2e-5)
+
+
+def test_engine_fused_scores_matches_xla_path():
+    """Full fastkv prefill with the fused Pallas scoring (use_pallas=True,
+    interpret mode) must reproduce the XLA path's logits and compressed cache
+    — same TSP keep-set, same per-layer selections."""
+    from fastkv_tpu.core.config import (
+        EngineConfig, Method, MethodConfig, ModelConfig,
+    )
+    from fastkv_tpu.engine import prefill as prefill_mod
+    from fastkv_tpu.models.llama import init_params
+
+    cfg = ModelConfig.tiny(num_kv_heads=2, num_heads=4, hidden_size=64,
+                           intermediate_size=128)
+    mcfg = MethodConfig(
+        method=Method.FASTKV, eviction_mode="proportional",
+        retain_rate=0.25, tsp_rate=0.5, tsp_idx=1, window_size=8,
+    )
+    params = init_params(cfg, seed=0)
+    rng = np.random.default_rng(11)
+    tokens = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 256)), jnp.int32)
+    n_true = jnp.array([256, 170], jnp.int32)
+
+    def run(use_pallas):
+        ecfg = EngineConfig(prefill_buckets=(256,), max_new_tokens=8,
+                            use_pallas=use_pallas, capacity_align=8)
+        shapes = prefill_mod.plan_shapes(cfg, mcfg, ecfg, 256)
+        return prefill_mod.prefill(params, cfg, mcfg, ecfg, shapes, tokens, n_true)
+
+    ref_logits, ref_cache = run(False)
+    with pltpu.force_tpu_interpret_mode():
+        logits, cache = run(True)
+    np.testing.assert_allclose(
+        np.asarray(logits), np.asarray(ref_logits), atol=2e-4, rtol=2e-4
+    )
+    # identical keep-sets: positions and validity must match exactly
+    np.testing.assert_array_equal(np.asarray(cache.pos), np.asarray(ref_cache.pos))
+    np.testing.assert_array_equal(np.asarray(cache.valid), np.asarray(ref_cache.valid))
+    np.testing.assert_allclose(
+        np.asarray(cache.k), np.asarray(ref_cache.k), atol=2e-4, rtol=2e-4
+    )
+
+
+@pytest.mark.parametrize("s,count_vals,W", [(256, [256], 8), (384, [300, 130], 8),
+                                            (256, [256], 12), (256, [5], 8)])
+def test_flash_fused_window_scores(s, count_vals, W):
+    """Fused in-kernel TSP/SnapKV scoring must match the XLA scoring pass
+    (engine.prefill._window_scores) on the observation-window softmax."""
+    from fastkv_tpu.engine import prefill as pf
+    from fastkv_tpu.policies import selection
+
+    b, h, kh, d = len(count_vals), 4, 2, 64
+    rng = np.random.default_rng(7)
+    q = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, kh, s, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, kh, s, d)), jnp.float32)
+    positions = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32)[None], (b, s))
+    count = jnp.asarray(count_vals, jnp.int32)
+    valid = positions < count[:, None]
+    state = pf.SeqState(
+        h=jnp.zeros((b, s, 8)), positions=positions, valid=valid,
+        count=count, n_orig=count,
+    )
+    win_idx, win_valid = selection.window_indices(count - W, W, count)
+    q_win = jnp.take_along_axis(q, win_idx[:, None, :, None], axis=2)
+    ref_scores, selectable = pf._window_scores(
+        q_win, k, win_idx, win_valid, state, W
+    )
+    qw_pos = jnp.take_along_axis(positions, win_idx, axis=1)
+    qw_pos = jnp.where(win_valid, qw_pos, -1)
+    with pltpu.force_tpu_interpret_mode():
+        out, scores = flash_attention(
+            q, k, v, positions, count, block_q=128, block_k=128,
+            window_q=q_win, window_q_pos=qw_pos,
+        )
+    # apply the same selectable zeroing as the XLA pass
+    scores = jnp.where(selectable[:, None, :], scores, 0.0)
+    np.testing.assert_allclose(
+        np.asarray(scores), np.asarray(ref_scores), atol=2e-5, rtol=2e-5
+    )
+    # attention output unaffected by the fused scoring
+    ref_out = att.chunked_causal_attention(
+        q, k, v, positions, positions, valid, q_block=64
+    )
+    for i in range(b):
+        vi = np.asarray(valid)[i]
+        np.testing.assert_allclose(
+            np.asarray(out)[i][:, vi], np.asarray(ref_out)[i][:, vi],
+            atol=2e-5, rtol=2e-5,
+        )
