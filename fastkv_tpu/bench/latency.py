@@ -41,13 +41,6 @@ def build(args):
         EngineConfig, Method, MethodConfig, MODEL_PRESETS,
     )
 
-    plat = os.environ.get("FASTKV_PLATFORM")
-    if plat:
-        try:
-            jax.config.update("jax_platforms", plat)
-        except Exception:
-            pass
-
     if args.random_weights:
         cfg = MODEL_PRESETS[args.preset](dtype=args.dtype)
         from fastkv_tpu.models.llama import init_params_on_device
@@ -93,57 +86,105 @@ def peak_mem() -> Optional[int]:
 
 
 def bench_prefill(args, cfg, params, mcfg, ecfg_kw, ctx: int):
+    """TTFT per method: gemfilter's TTFT includes BOTH passes of its two-pass
+    scheme (reference: benchmark/prefill.py gemfilter path via
+    gemfilter_generate_selection_prefill) and pyramidinfer's includes the
+    decode-state seeding — both via the Engine's method routing."""
     from fastkv_tpu.core.config import EngineConfig
-    from fastkv_tpu.engine import prefill as pm
     from fastkv_tpu.utils.timing import force
 
     ecfg = EngineConfig(prefill_buckets=(ctx,), max_new_tokens=16, **ecfg_kw)
-    shapes = pm.plan_shapes(cfg, mcfg, ecfg, ctx)
-    tokens = jnp.ones((args.batch, ctx), jnp.int32)
-    n = jnp.full((args.batch,), ctx, jnp.int32)
-    pf = jax.jit(lambda p, t, nn: pm.prefill(p, cfg, mcfg, ecfg, shapes, t, nn))
-    force(pf(params, tokens, n)[0])  # warmup/compile
+    run_prefill, _ = _e2e_runners(cfg, params, mcfg, ecfg, ctx, 16, args.batch)
+    force(run_prefill()[0])  # warmup/compile
     times = []
     for _ in range(args.runs):
         t0 = time.perf_counter()
-        force(pf(params, tokens, n)[0])
+        force(run_prefill()[0])
         times.append(time.perf_counter() - t0)
     mean, std, ci = stats(times)
     return {"context": ctx, "mean_s": mean, "std_s": std, "ci95_s": ci, "peak_mem": peak_mem()}
 
 
+def _e2e_runners(cfg, params, mcfg, ecfg, ctx: int, genlen: int, batch: int):
+    """Build (run_prefill, run_decode) for one method through the Engine's
+    method routing — gemfilter benches its real two-pass path and pyramidinfer
+    its generation-stage re-compression, matching the reference's per-method
+    e2e paths (reference: benchmark/e2e.py:158 standard, :188-195 gemfilter
+    two-pass prefill, :218-232 pyramidinfer generate)."""
+    from fastkv_tpu.core.config import Method
+    from fastkv_tpu.engine.generate import Engine
+
+    eng = Engine(params, cfg, mcfg, ecfg)
+    tokens = jnp.ones((batch, ctx), jnp.int32)
+    n = jnp.full((batch,), ctx, jnp.int32)
+    eos = jnp.asarray([0], jnp.int32)
+
+    if mcfg.method == Method.GEMFILTER:
+        from fastkv_tpu.engine import gemfilter
+
+        cap = gemfilter.filter_capacity(mcfg, ctx, ecfg.capacity_align)
+        sel = eng._gemfilter_select_fn(ctx, cap)
+        eng2 = eng._pass2_engine()
+        pf2 = eng2.prefill_fn(cap, genlen)
+        gg2 = eng2.generate_fn(cap, genlen, 0, 1)
+
+        def run_prefill():
+            nt, nc, _ = sel(params, tokens, n)
+            logits, cache = pf2(params, nt, nc)
+            return (logits, cache, nc)
+
+        def run_decode(st):
+            res, _ = gg2(params, st[0], st[1], st[2], eos)
+            return res.tokens
+
+    elif mcfg.method == Method.PYRAMIDINFER:
+        ppf = eng._pyramid_prefill_fn(ctx, genlen)
+        pgg = eng._pyramid_generate_fn(ctx, genlen, 0, 1)
+
+        def run_prefill():
+            logits, cache, pstate = ppf(params, tokens, n)
+            return (logits, cache, pstate)
+
+        def run_decode(st):
+            res, _ = pgg(params, st[0], st[1], st[2], n, eos)
+            return res.tokens
+
+    else:
+        pf = eng.prefill_fn(ctx, genlen)
+        gg = eng.generate_fn(ctx, genlen, 0, 1)
+
+        def run_prefill():
+            logits, cache = pf(params, tokens, n)
+            return (logits, cache)
+
+        def run_decode(st):
+            res, _ = gg(params, st[0], st[1], n, eos)
+            return res.tokens
+
+    return run_prefill, run_decode
+
+
 def bench_e2e(args, cfg, params, mcfg, ecfg_kw, ctx: int):
     from fastkv_tpu.core.config import EngineConfig
-    from fastkv_tpu.engine import decode as dm
-    from fastkv_tpu.engine import prefill as pm
     from fastkv_tpu.utils.timing import force
 
     genlen = args.genlen
     ecfg = EngineConfig(prefill_buckets=(ctx,), max_new_tokens=genlen, **ecfg_kw)
-    shapes = pm.plan_shapes(cfg, mcfg, ecfg, ctx)
-    tokens = jnp.ones((args.batch, ctx), jnp.int32)
-    n = jnp.full((args.batch,), ctx, jnp.int32)
-    pf = jax.jit(lambda p, t, nn: pm.prefill(p, cfg, mcfg, ecfg, shapes, t, nn))
-    gg = jax.jit(
-        lambda p, fl, c, nn: dm.greedy_generate(
-            p, cfg, mcfg, shapes, fl, c, nn, genlen, None, 1,
-            use_pallas=ecfg.decode_pallas,
-        ),
-        donate_argnums=(2,),
+    run_prefill, run_decode = _e2e_runners(
+        cfg, params, mcfg, ecfg, ctx, genlen, args.batch
     )
-    logits, cache = pf(params, tokens, n)
-    force(logits)
-    res, _ = gg(params, logits, cache, n)
-    force(res.tokens)
+    st = run_prefill()
+    force(st[0])
+    force(run_decode(st))
     pts, dts = [], []
     for _ in range(args.runs):
         t0 = time.perf_counter()
-        logits, cache = pf(params, tokens, n)
-        force(logits)
+        st = run_prefill()
+        force(st[0])
         pts.append(time.perf_counter() - t0)
         t0 = time.perf_counter()
-        res, _ = gg(params, logits, cache, n)
-        force(res.tokens)
+        out = run_decode(st)
+        force(out)
         dts.append(time.perf_counter() - t0)
     pm_, ps, pci = stats(pts)
     dm_, ds, dci = stats(dts)
@@ -182,6 +223,13 @@ def main(argv=None):
     args = p.parse_args(argv)
     if not args.model_path:
         args.random_weights = True
+
+    plat = os.environ.get("FASTKV_PLATFORM")
+    if plat:  # must happen before any device use (warmup included)
+        try:
+            jax.config.update("jax_platforms", plat)
+        except Exception:
+            pass
 
     from fastkv_tpu.utils.timing import warmup_device
 

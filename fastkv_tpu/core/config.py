@@ -394,6 +394,22 @@ class EngineConfig:
     # for experimentation (ops/decode_attn.py).
     decode_use_pallas: Optional[bool] = None
     decode_block: int = 256  # decode-cache growth granularity
+    # Sequence-chunked MLP during prefill: caps the [s, intermediate]
+    # activation footprint for very long contexts. 0 = never chunk;
+    # None = auto (chunk at 32K when the bucket is >= 128K).
+    mlp_chunk: Optional[int] = None
+
+    def mlp_chunk_for(self, s: int) -> int:
+        if self.mlp_chunk is not None:
+            chunk = self.mlp_chunk
+        elif s >= 131072:
+            chunk = 32768
+        else:
+            return 0
+        # lax.map tiling needs chunk | s: shrink to the largest divisor
+        while chunk > 1 and s % chunk:
+            chunk //= 2
+        return chunk if 1 < chunk < s else 0
 
     @property
     def decode_pallas(self) -> bool:

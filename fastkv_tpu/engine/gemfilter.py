@@ -71,7 +71,10 @@ def select_tokens(
                 q, k, v, positions, positions, valid, sliding_window=cfg.sliding_window
             )
         h = h + llama.attn_out_proj(lp, attn)
-        h = h + llama.mlp(lp, llama.rms_norm(h, lp["ln_mlp"], cfg.rms_norm_eps))
+        h = h + llama.mlp(
+            lp, llama.rms_norm(h, lp["ln_mlp"], cfg.rms_norm_eps),
+            chunk=ecfg.mlp_chunk_for(h.shape[1]),
+        )
         return h, None
 
     fi = mcfg.filter_idx

@@ -67,7 +67,9 @@ class Engine:
                     use_pallas=self.ecfg.decode_pallas,
                 )
 
-            self._gen_cache[key] = jax.jit(run)
+            # the prefill cache is consumed by generation — donate it so decode
+            # never holds two copies (at 128K+ fullkv that is multiple GB)
+            self._gen_cache[key] = jax.jit(run, donate_argnums=(2,))
         return self._gen_cache[key]
 
     # -- user API --------------------------------------------------------------------

@@ -308,7 +308,10 @@ def make_layer_fn(
         else:
             attn = _attend(cfg, q, k, v, state, ecfg.use_pallas)
         h = h + llama.attn_out_proj(lp, attn)
-        h = h + llama.mlp(lp, llama.rms_norm(h, lp["ln_mlp"], cfg.rms_norm_eps))
+        h = h + llama.mlp(
+            lp, llama.rms_norm(h, lp["ln_mlp"], cfg.rms_norm_eps),
+            chunk=ecfg.mlp_chunk_for(h.shape[1]),
+        )
 
         keep, score_ctx = _keep_set_for_layer(
             cfg, mcfg, shapes, state, q, k, is_post_tsp,

@@ -281,7 +281,10 @@ def prefill(
         q, k = llama.rope_qk(q, k, state.positions, inv_freq)
         attn = _attend(cfg, q, k, v, state, ecfg.use_pallas)
         h = state.h + llama.attn_out_proj(lp, attn)
-        h = h + llama.mlp(lp, llama.rms_norm(h, lp["ln_mlp"], cfg.rms_norm_eps))
+        h = h + llama.mlp(
+            lp, llama.rms_norm(h, lp["ln_mlp"], cfg.rms_norm_eps),
+            chunk=ecfg.mlp_chunk_for(h.shape[1]),
+        )
         if want_decode_state:
             seed_layers.append(_seed_layer_state(mcfg, q, k, state, rr, cap_total))
         state = state._replace(h=h)

@@ -176,7 +176,18 @@ def qkv_proj(lp: Params, cfg: ModelConfig, h_normed: jnp.ndarray):
     return q, k, v
 
 
-def mlp(lp: Params, x: jnp.ndarray) -> jnp.ndarray:
+def mlp(lp: Params, x: jnp.ndarray, chunk: int = 0) -> jnp.ndarray:
+    """Gated MLP. With `chunk` > 0 and s a multiple of it, the sequence axis is
+    processed in chunks under lax.map so the [s, intermediate] gate/up
+    activations never materialize at full length — at 128K+ prefill those are
+    the peak-memory term (e.g. 2 x 4 GB bf16 at 256K for the 1B config), not
+    the weights or the cache. Pure sequence tiling: results are bit-identical.
+    """
+    if chunk and x.shape[1] > chunk and x.shape[1] % chunk == 0:
+        b, s, dm = x.shape
+        xs = x.reshape(b, s // chunk, chunk, dm).transpose(1, 0, 2, 3)
+        ys = jax.lax.map(lambda c: mlp(lp, c), xs)
+        return ys.transpose(1, 0, 2, 3).reshape(b, s, dm)
     gate = x @ lp["w_gate"]
     up = x @ lp["w_up"]
     return (jax.nn.silu(gate) * up) @ lp["w_down"]
