@@ -28,11 +28,16 @@ class Engine:
         cfg: ModelConfig,
         mcfg: MethodConfig,
         ecfg: Optional[EngineConfig] = None,
+        pcfg=None,  # Optional[ParallelConfig]; sp_mode routes prefill through
+        #   ring/Ulysses sequence parallelism (needs mesh)
+        mesh=None,
     ):
         self.params = params
         self.cfg = cfg
         self.mcfg = mcfg
         self.ecfg = ecfg or EngineConfig()
+        self.pcfg = pcfg
+        self.mesh = mesh
         self._prefill_cache: Dict[Tuple, Any] = {}
         self._gen_cache: Dict[Tuple, Any] = {}
 
@@ -49,7 +54,8 @@ class Engine:
 
             def run(params, tokens, n_true):
                 return prefill_mod.prefill(
-                    params, self.cfg, self.mcfg, self.ecfg, shapes, tokens, n_true
+                    params, self.cfg, self.mcfg, self.ecfg, shapes, tokens, n_true,
+                    pcfg=self.pcfg, mesh=self.mesh,
                 )
 
             self._prefill_cache[key] = jax.jit(run)

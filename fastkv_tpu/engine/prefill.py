@@ -272,6 +272,9 @@ def make_layer_fn(
     shapes: PrefillShapes,
     is_post_tsp: bool,
     want_tsp: bool = False,
+    sp_attend=None,  # SP attention callable (ring/ulysses, see sp_attend_fn);
+    #   when set, hidden/positions stay sequence-sharded through the layer and
+    #   attention runs under shard_map over the 'seq' mesh axis
 ):
     """Build the per-layer prefill body (used unrolled or under lax.scan)."""
 
@@ -281,8 +284,15 @@ def make_layer_fn(
 
     # fastkv/snapkv under Pallas: the observation-window scoring fuses into the
     # flash kernel (keys stream through VMEM once for attention AND scoring),
-    # replacing the separate O(W*s) XLA pass + K re-read
-    fused_scores = ecfg.use_pallas and mcfg.method in (Method.FASTKV, Method.SNAPKV)
+    # replacing the separate O(W*s) XLA pass + K re-read. Under SP the kernel
+    # is per-shard, so scoring goes through the XLA pass (whose softmax-over-s
+    # reductions the partitioner turns into seq-axis collectives: local scores
+    # -> psum -> global top-k, SURVEY.md §5 'Long-context').
+    fused_scores = (
+        ecfg.use_pallas
+        and sp_attend is None
+        and mcfg.method in (Method.FASTKV, Method.SNAPKV)
+    )
 
     def layer_fn(state: SeqState, lp: Dict[str, jnp.ndarray]):
         h = state.h
@@ -290,7 +300,9 @@ def make_layer_fn(
         q, k, v = llama.qkv_proj(lp, cfg, hn)
         q, k = llama.rope_qk(q, k, state.positions, inv_freq)
         precomputed = None
-        if fused_scores:
+        if sp_attend is not None:
+            attn = sp_attend(q, k, v, state)
+        elif fused_scores:
             from fastkv_tpu.ops import flash_prefill
 
             q_win, win_idx, win_valid = _window_rows(q, state, mcfg.window_size)
@@ -356,6 +368,44 @@ def tsp_gather(state: SeqState, tsp: methods.TspSet) -> SeqState:
     return SeqState(h=h, positions=pos, valid=tsp.valid, count=count, n_orig=state.n_orig)
 
 
+def sp_attend_fn(cfg: ModelConfig, ecfg: EngineConfig, pcfg, mesh):
+    """Build the sequence-parallel attention callable for the prefill layers.
+
+    'ring': blockwise ring attention — K/V chunks rotate over the 'seq' mesh
+    axis via ppermute, partials merge by online-softmax stats. 'ulysses':
+    all_to_all reshards seq->heads, plain causal attention, reshard back.
+    (parallel/ring_attention.py; SURVEY.md §2.4.)
+    """
+    from fastkv_tpu.parallel import ring_attention as ra
+
+    if pcfg.sp_mode == "ring":
+        fn = ra.make_ring_attention(
+            mesh, sliding_window=cfg.sliding_window, use_pallas=ecfg.use_pallas
+        )
+
+        def attend(q, k, v, state: SeqState):
+            return fn(q, k, v, state.positions, state.count)
+
+    elif pcfg.sp_mode == "ulysses":
+        fn = ra.make_ulysses_attention(
+            mesh, sliding_window=cfg.sliding_window, use_pallas=ecfg.use_pallas
+        )
+
+        def attend(q, k, v, state: SeqState):
+            # ulysses consumes globally-replicated positions
+            return fn(q, k, v, state.positions, state.count)
+
+    else:
+        raise ValueError(f"unknown sp_mode {pcfg.sp_mode}")
+    return attend
+
+
+def _seq_sharded(mesh, x, spec):
+    from jax.sharding import NamedSharding
+
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+
 def prefill(
     params: Dict[str, Any],
     cfg: ModelConfig,
@@ -364,37 +414,65 @@ def prefill(
     shapes: PrefillShapes,
     tokens: jnp.ndarray,  # [b, bucket] right-padded
     n_true: jnp.ndarray,  # [b]
+    pcfg=None,  # Optional[ParallelConfig]: sp_mode != 'none' shards the
+    #   sequence axis of the long pre-TSP segment over the 'seq' mesh axis
+    mesh=None,  # required when pcfg.sp_mode != 'none'
 ) -> Tuple[jnp.ndarray, KVCache]:
     """Run the full prefill; returns (last-token logits [b, V] fp32, cache)."""
     if mcfg.method == Method.PYRAMIDINFER:
         from fastkv_tpu.engine import pyramid
 
         return pyramid.prefill(params, cfg, mcfg, ecfg, shapes, tokens, n_true)
+    sp = pcfg is not None and getattr(pcfg, "sp_mode", "none") != "none" and pcfg.seq > 1
     b, s = tokens.shape
     assert s == shapes.bucket
     h = llama.embed(params, cfg, tokens)
     positions = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32)[None, :], (b, s))
     valid = positions < n_true[:, None]
+    sp_attend = None
+    if sp:
+        from jax.sharding import PartitionSpec as P
+
+        assert mesh is not None, "SP prefill needs the mesh"
+        sp_attend = sp_attend_fn(cfg, ecfg, pcfg, mesh)
+        # activations/positions sequence-sharded through the long segment;
+        # score softmax + top-k reductions over 's' become seq-axis
+        # collectives inserted by the SPMD partitioner (distributed TSP top-k)
+        h = _seq_sharded(mesh, h, P("data", "seq", None))
+        positions = _seq_sharded(mesh, positions, P("data", "seq"))
+        valid = _seq_sharded(mesh, valid, P("data", "seq"))
     state = SeqState(h=h, positions=positions, valid=valid, count=n_true, n_orig=n_true)
 
     L = cfg.num_layers
     lay = params["layers"]
     if mcfg.method == Method.FASTKV:
         t = mcfg.tsp_idx
-        fn_a = make_layer_fn(cfg, mcfg, ecfg, shapes, is_post_tsp=False)
+        fn_a = make_layer_fn(cfg, mcfg, ecfg, shapes, is_post_tsp=False, sp_attend=sp_attend)
         state, cache_a = scan_segment(fn_a, state, llama.slice_layers(lay, 0, t))
-        fn_t = make_layer_fn(cfg, mcfg, ecfg, shapes, is_post_tsp=False, want_tsp=True)
+        fn_t = make_layer_fn(
+            cfg, mcfg, ecfg, shapes, is_post_tsp=False, want_tsp=True, sp_attend=sp_attend
+        )
         lp_t = jax.tree_util.tree_map(lambda x: x[t], lay)
         state, cache_t, tsp = fn_t(state, lp_t)
         cache_t = jax.tree_util.tree_map(lambda x: x[None], cache_t)
         state = tsp_gather(state, tsp)
+        if sp:
+            # the post-TSP sequence (tsp_rate * s tokens) is short: run it
+            # dense — gather output replicated over 'seq'
+            from jax.sharding import PartitionSpec as P
+
+            state = state._replace(
+                h=_seq_sharded(mesh, state.h, P("data", None, None)),
+                positions=_seq_sharded(mesh, state.positions, P("data", None)),
+                valid=_seq_sharded(mesh, state.valid, P("data", None)),
+            )
         fn_b = make_layer_fn(cfg, mcfg, ecfg, shapes, is_post_tsp=True)
         state, cache_b = scan_segment(fn_b, state, llama.slice_layers(lay, t + 1, L))
         cache_parts = jax.tree_util.tree_map(
             lambda *xs: jnp.concatenate(xs, axis=0), cache_a, cache_t, cache_b
         )
     else:
-        fn = make_layer_fn(cfg, mcfg, ecfg, shapes, is_post_tsp=False)
+        fn = make_layer_fn(cfg, mcfg, ecfg, shapes, is_post_tsp=False, sp_attend=sp_attend)
         state, cache_parts = scan_segment(fn, state, lay)
 
     cache = KVCache(k=cache_parts[0], v=cache_parts[1], pos=cache_parts[2], valid=cache_parts[3])

@@ -235,6 +235,14 @@ def flash_attention(
             window_q_pos = jnp.pad(
                 window_q_pos, ((0, 0), (0, wp - w)), constant_values=-1
             )
+        # VMEM budget: the raw-logit strip ([wp, s_pad] fp32) + the full-row
+        # scores output must coexist with the per-block buffers. At 1024^2
+        # blocks the non-strip footprint is ~11 MB, which VMEM-OOMs beyond
+        # ~128K context (measured: 17.54M > 16M at 192K). Halving the blocks
+        # frees ~6 MB and keeps the kernel compiling out to 256K+.
+        if sk > 131072:
+            block_q = min(block_q, 512)
+            block_k = min(block_k, 512)
     # Mosaic's implicit edge-block padding corrupts partial blocks on real TPU
     # (observed: NaN in the valid rows of a trailing partial q block), so pad
     # sequences to block multiples explicitly; zero-padded keys are masked via

@@ -1,0 +1,116 @@
+"""Sequence parallelism wired into the engine prefill (SURVEY.md §5
+'Long-context', §7 'Distributed top-k').
+
+FastKV prefill under ring / Ulysses SP on the virtual 8-CPU mesh must select
+exactly the same tokens as the single-device run: TSP top-k and per-layer
+keep-sets are bit-identical (cache.pos / cache.valid equality), logits and
+cache contents agree to numerical tolerance (reduction order over the sharded
+sequence axis may differ in fp32).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from fastkv_tpu.core.config import (
+    EngineConfig,
+    Method,
+    MethodConfig,
+    ModelConfig,
+    ParallelConfig,
+)
+from fastkv_tpu.engine import prefill as prefill_mod
+from fastkv_tpu.models.llama import init_params
+from fastkv_tpu.parallel import sharding as sh
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = ModelConfig.tiny(num_kv_heads=4, num_heads=8, hidden_size=128,
+                           intermediate_size=256)
+    mcfg = MethodConfig(
+        method=Method.FASTKV, eviction_mode="proportional",
+        retain_rate=0.25, tsp_rate=0.5, tsp_idx=1,
+    )
+    ecfg = EngineConfig(prefill_buckets=(256,), max_new_tokens=8,
+                        use_pallas=False, capacity_align=8)
+    shapes = prefill_mod.plan_shapes(cfg, mcfg, ecfg, 256)
+    params = init_params(cfg, seed=0)
+    rng = np.random.default_rng(0)
+    tokens = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 256)), jnp.int32)
+    n_true = jnp.array([256, 230], jnp.int32)
+    ref = jax.jit(
+        lambda p, t, n: prefill_mod.prefill(p, cfg, mcfg, ecfg, shapes, t, n)
+    )(params, tokens, n_true)
+    return cfg, mcfg, ecfg, shapes, params, tokens, n_true, ref
+
+
+def run_sp(setup, pcfg):
+    cfg, mcfg, ecfg, shapes, params, tokens, n_true, _ = setup
+    mesh = sh.make_mesh(pcfg, jax.devices())
+    params_s = sh.shard_params(params, mesh, cfg)
+    tokens_s = jax.device_put(tokens, NamedSharding(mesh, P("data", None)))
+    n_s = jax.device_put(n_true, NamedSharding(mesh, P("data")))
+    fn = jax.jit(
+        lambda p, t, n: prefill_mod.prefill(
+            p, cfg, mcfg, ecfg, shapes, t, n, pcfg=pcfg, mesh=mesh
+        )
+    )
+    return fn(params_s, tokens_s, n_s)
+
+
+def check(ref, out):
+    ref_logits, ref_cache = ref
+    logits, cache = out
+    np.testing.assert_allclose(
+        np.asarray(logits), np.asarray(ref_logits), atol=2e-4, rtol=2e-4
+    )
+    # bit-identical selection: distributed top-k must match single-device
+    np.testing.assert_array_equal(np.asarray(cache.pos), np.asarray(ref_cache.pos))
+    np.testing.assert_array_equal(np.asarray(cache.valid), np.asarray(ref_cache.valid))
+    np.testing.assert_allclose(
+        np.asarray(cache.k), np.asarray(ref_cache.k), atol=2e-4, rtol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(cache.v), np.asarray(ref_cache.v), atol=2e-4, rtol=2e-4
+    )
+
+
+def test_ring_sp_prefill_matches_single_device(setup):
+    out = run_sp(setup, ParallelConfig(data=1, model=1, seq=8, sp_mode="ring"))
+    check(setup[-1], out)
+
+
+def test_ring_sp_with_dp(setup):
+    out = run_sp(setup, ParallelConfig(data=2, model=1, seq=4, sp_mode="ring"))
+    check(setup[-1], out)
+
+
+def test_ulysses_sp_prefill_matches_single_device(setup):
+    out = run_sp(setup, ParallelConfig(data=2, model=1, seq=4, sp_mode="ulysses"))
+    check(setup[-1], out)
+
+
+def test_ring_sp_with_tp(setup):
+    out = run_sp(setup, ParallelConfig(data=1, model=2, seq=4, sp_mode="ring"))
+    check(setup[-1], out)
+
+
+def test_fullkv_under_ring_sp(setup):
+    cfg, _, ecfg, _, params, tokens, n_true, _ = setup
+    mcfg = MethodConfig(method=Method.FULLKV)
+    shapes = prefill_mod.plan_shapes(cfg, mcfg, ecfg, 256)
+    ref = jax.jit(
+        lambda p, t, n: prefill_mod.prefill(p, cfg, mcfg, ecfg, shapes, t, n)
+    )(params, tokens, n_true)
+    pcfg = ParallelConfig(data=1, model=1, seq=8, sp_mode="ring")
+    mesh = sh.make_mesh(pcfg, jax.devices())
+    params_s = sh.shard_params(params, mesh, cfg)
+    out = jax.jit(
+        lambda p, t, n: prefill_mod.prefill(
+            p, cfg, mcfg, ecfg, shapes, t, n, pcfg=pcfg, mesh=mesh
+        )
+    )(params_s, tokens, n_true)
+    check(ref, out)
