@@ -1,0 +1,226 @@
+"""Multi-replica serving front door + multi-host runtime entry.
+
+New TPU scope (the reference is strictly single-GPU offline evaluation —
+every script pins CUDA_VISIBLE_DEVICES=0, reference scripts/eval_longbench.sh:12;
+SURVEY.md §2.4/§5 define this subsystem for the build):
+
+  * `FrontDoor` — data-parallel request dispatch over N `Scheduler` replicas
+    (least-loaded assignment). Each replica drains its queue on a worker
+    thread; JAX dispatch itself releases the GIL during device execution, so
+    replica threads overlap when replicas sit on distinct devices/meshes.
+  * Failure detection + elastic re-admission (SURVEY.md §5 'Failure
+    detection' row): a replica whose drain loop dies (device loss, OOM,
+    injected fault) is marked dead; its unfinished requests — queued AND
+    in-flight — are re-admitted to surviving replicas. Re-admission is
+    stateless re-execution from the prompt: compressed caches are
+    deterministic functions of the prompt, so a restarted request produces
+    identical output (greedy decoding).
+  * `init_distributed` — the `jax.distributed.initialize` multi-controller
+    entry: each host process runs the same program, builds schedulers over its
+    addressable devices, and the front door partitions requests per host
+    (DP over DCN; intra-replica sharding stays over ICI via ParallelConfig).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import threading
+import time
+from typing import Any, Callable, Dict, List, Optional, Sequence
+
+import jax
+
+from fastkv_tpu.engine.scheduler import Request, Scheduler
+
+
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+    local_device_ids: Optional[Sequence[int]] = None,
+) -> Dict[str, int]:
+    """Initialize the JAX multi-controller runtime (no-op if single process).
+
+    On TPU pods the arguments are auto-detected from the environment; pass
+    them explicitly for CPU/GPU multi-process runs. Returns
+    {process_index, process_count, local_device_count, global_device_count}.
+    """
+    if num_processes is not None and num_processes > 1:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+            local_device_ids=local_device_ids,
+        )
+    elif coordinator_address is not None:
+        jax.distributed.initialize(coordinator_address=coordinator_address)
+    return {
+        "process_index": jax.process_index(),
+        "process_count": jax.process_count(),
+        "local_device_count": jax.local_device_count(),
+        "global_device_count": jax.device_count(),
+    }
+
+
+@dataclasses.dataclass
+class _Ticket:
+    """Front-door view of one submitted request."""
+
+    ticket_id: int
+    prompt: List[int]
+    max_new_tokens: int
+    eos_ids: Sequence[int]
+    replica: Optional[int] = None
+    replica_req_id: Optional[int] = None
+    result: Optional[Request] = None
+    readmissions: int = 0
+
+
+class _Replica:
+    """One Scheduler + drain thread + health state."""
+
+    def __init__(self, idx: int, scheduler: Scheduler):
+        self.idx = idx
+        self.scheduler = scheduler
+        self.alive = True
+        self.error: Optional[BaseException] = None
+        self.assigned: Dict[int, _Ticket] = {}  # replica_req_id -> ticket
+
+    @property
+    def load(self) -> int:
+        return len(self.assigned)
+
+    def drain(self, fault: Optional[Callable[[int], None]] = None):
+        """Run the scheduler until empty; capture any failure."""
+        try:
+            if fault is not None:
+                fault(self.idx)
+            return self.scheduler.run()
+        except BaseException as e:  # device loss / OOM / injected fault
+            self.error = e
+            self.alive = False
+            return []
+
+
+class FrontDoor:
+    """DP front door: dispatch requests across Scheduler replicas, detect
+    replica failure, and re-admit orphaned requests to survivors."""
+
+    def __init__(
+        self,
+        schedulers: Sequence[Scheduler],
+        max_readmissions: int = 2,
+    ):
+        if not schedulers:
+            raise ValueError("need at least one scheduler replica")
+        self.replicas = [_Replica(i, s) for i, s in enumerate(schedulers)]
+        self.max_readmissions = max_readmissions
+        self.tickets: List[_Ticket] = []
+        self._next = 0
+
+    # -- submission ------------------------------------------------------------
+
+    def submit(
+        self,
+        prompt: Sequence[int],
+        max_new_tokens: int = 32,
+        eos_ids: Sequence[int] = (),
+    ) -> int:
+        t = _Ticket(self._next, list(prompt), max_new_tokens, eos_ids)
+        self._next += 1
+        self.tickets.append(t)
+        self._assign(t)
+        return t.ticket_id
+
+    def _assign(self, t: _Ticket) -> None:
+        live = [r for r in self.replicas if r.alive]
+        if not live:
+            raise RuntimeError("no live replicas")
+        r = min(live, key=lambda r: r.load)
+        rid = r.scheduler.submit(t.prompt, t.max_new_tokens, t.eos_ids)
+        t.replica, t.replica_req_id = r.idx, rid
+        r.assigned[rid] = t
+
+    # -- draining with failure recovery ----------------------------------------
+
+    def run(
+        self, fault: Optional[Callable[[int], None]] = None
+    ) -> List[Dict[str, Any]]:
+        """Drain all replicas (each on its own thread). If a replica dies, its
+        unfinished requests are re-admitted to the survivors and the drain
+        repeats until everything completes. `fault` is a fault-injection hook
+        (called with the replica index at drain start; raise to simulate a
+        replica loss)."""
+        pending = True
+        while pending:
+            results: Dict[int, List[Request]] = {}
+            threads = []
+            for r in self.replicas:
+                if not r.alive or not r.assigned:
+                    continue
+
+                def work(r=r):
+                    results[r.idx] = r.drain(fault)
+
+                th = threading.Thread(target=work, daemon=True)
+                threads.append(th)
+                th.start()
+            for th in threads:
+                th.join()
+            fault = None  # one-shot injection
+
+            orphans: List[_Ticket] = []
+            for r in self.replicas:
+                done = {req.req_id: req for req in results.get(r.idx, [])}
+                for rid, t in list(r.assigned.items()):
+                    if rid in done:
+                        t.result = done[rid]
+                        del r.assigned[rid]
+                if not r.alive and r.assigned:
+                    # failure detected: orphaned queued/in-flight requests
+                    orphans.extend(r.assigned.values())
+                    r.assigned.clear()
+            for t in orphans:
+                if t.readmissions >= self.max_readmissions:
+                    raise RuntimeError(
+                        f"request {t.ticket_id} exceeded {self.max_readmissions} "
+                        f"re-admissions"
+                    )
+                t.readmissions += 1
+                self._assign(t)
+            pending = any(r.alive and r.assigned for r in self.replicas) or bool(
+                orphans
+            )
+
+        out = []
+        for t in self.tickets:
+            m = t.result.metrics if t.result else {}
+            out.append(
+                {
+                    "ticket_id": t.ticket_id,
+                    "replica": t.replica,
+                    "readmissions": t.readmissions,
+                    "tokens": list(t.result.tokens) if t.result else None,
+                    **m,
+                }
+            )
+        return out
+
+
+def local_front_door(
+    params: Dict[str, Any],
+    cfg,
+    mcfg,
+    ecfg=None,
+    n_replicas: int = 1,
+    **sched_kw,
+) -> FrontDoor:
+    """Build a front door over n local Scheduler replicas (single process).
+
+    In a multi-host run, call under `init_distributed()` on every process with
+    this process's shard of the replicas; requests are partitioned per host.
+    """
+    scheds = [
+        Scheduler(params, cfg, mcfg, ecfg, **sched_kw) for _ in range(n_replicas)
+    ]
+    return FrontDoor(scheds)

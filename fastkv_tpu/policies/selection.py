@@ -14,7 +14,10 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-BIG_INDEX = jnp.int32(2**30)
+# plain int (NOT jnp.int32): a module-level jnp scalar would initialize the
+# XLA backend at import time, breaking jax.distributed.initialize ordering in
+# multi-controller processes (engine/serve.py)
+BIG_INDEX = 2**30
 
 
 def topk_select(

@@ -1,0 +1,178 @@
+"""Serving front door: DP dispatch over Scheduler replicas, failure
+re-admission, and the 2-process multi-controller (jax.distributed) smoke test
+(SURVEY.md §5 'Failure detection / elastic recovery' row).
+"""
+
+import os
+import subprocess
+import sys
+import textwrap
+
+import numpy as np
+import pytest
+
+from fastkv_tpu.core.config import EngineConfig, Method, MethodConfig, ModelConfig
+from fastkv_tpu.engine.scheduler import Scheduler
+from fastkv_tpu.engine.serve import FrontDoor
+from fastkv_tpu.models.llama import init_params
+
+
+@pytest.fixture(scope="module")
+def stack():
+    cfg = ModelConfig.tiny()
+    params = init_params(cfg, seed=0)
+    mcfg = MethodConfig(method=Method.FASTKV, eviction_mode="proportional",
+                        retain_rate=0.3, tsp_rate=0.5, tsp_idx=1)
+    ecfg = EngineConfig(prefill_buckets=(256,), use_pallas=False, capacity_align=8)
+    rng = np.random.default_rng(3)
+    prompts = [list(rng.integers(0, cfg.vocab_size, size=int(n)))
+               for n in rng.integers(40, 200, size=6)]
+    return cfg, params, mcfg, ecfg, prompts
+
+
+def make_sched(stack, **kw):
+    cfg, params, mcfg, ecfg, _ = stack
+    return Scheduler(params, cfg, mcfg, ecfg, max_batch=2, bucket=256,
+                     max_new_tokens=8, **kw)
+
+
+def reference_tokens(stack):
+    """Single-scheduler ground truth per prompt."""
+    cfg, params, mcfg, ecfg, prompts = stack
+    sched = make_sched(stack)
+    ids = [sched.submit(p, 8) for p in prompts]
+    done = {r.req_id: r.tokens for r in sched.run()}
+    return [done[i] for i in ids]
+
+
+def test_front_door_two_replicas_matches_single(stack):
+    prompts = stack[-1]
+    ref = reference_tokens(stack)
+    fd = FrontDoor([make_sched(stack), make_sched(stack)])
+    tids = [fd.submit(p, 8) for p in prompts]
+    out = {r["ticket_id"]: r for r in fd.run()}
+    # both replicas used
+    assert {out[t]["replica"] for t in tids} == {0, 1}
+    for t, want in zip(tids, ref):
+        assert out[t]["tokens"] == want
+        assert out[t]["ttft_s"] >= 0 and out[t]["tpot_s"] >= 0
+
+
+def test_replica_failure_readmits_to_survivor(stack):
+    prompts = stack[-1]
+    ref = reference_tokens(stack)
+    fd = FrontDoor([make_sched(stack), make_sched(stack)])
+    tids = [fd.submit(p, 8) for p in prompts]
+
+    def fault(idx):
+        if idx == 0:
+            raise RuntimeError("injected replica loss")
+
+    out = {r["ticket_id"]: r for r in fd.run(fault=fault)}
+    assert not fd.replicas[0].alive and fd.replicas[1].alive
+    readmitted = [t for t in tids if out[t]["readmissions"] > 0]
+    assert readmitted, "replica 0's requests must have been re-admitted"
+    for t, want in zip(tids, ref):
+        # stateless re-execution: greedy output identical after re-admission
+        assert out[t]["tokens"] == want
+        assert out[t]["replica"] == 1 or out[t]["readmissions"] == 0
+
+
+def test_all_replicas_dead_raises(stack):
+    fd = FrontDoor([make_sched(stack)])
+    fd.submit(stack[-1][0], 4)
+
+    def fault(idx):
+        raise RuntimeError("boom")
+
+    with pytest.raises(RuntimeError):
+        fd.run(fault=fault)
+
+
+_WORKER = textwrap.dedent(
+    """
+    import sys
+    import jax
+    # platform comes from JAX_PLATFORMS=cpu in the env: jax.config.update
+    # initializes the backend, which must not happen before distributed init
+    port, pid = sys.argv[1], int(sys.argv[2])
+
+    from fastkv_tpu.engine.serve import init_distributed, local_front_door
+    info = init_distributed(f"localhost:{port}", num_processes=2, process_id=pid)
+    assert info["process_count"] == 2, info
+    assert info["global_device_count"] == 2, info
+
+    # cross-process collective through the multi-controller runtime
+    import numpy as np
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    mesh = Mesh(np.asarray(jax.devices()).reshape(2), ("data",))
+    x = jax.make_array_from_callback(
+        (2,), NamedSharding(mesh, P("data")),
+        lambda idx: np.asarray([float(jax.process_index() + 1)]),
+    )
+    total = jax.jit(jnp.sum, out_shardings=NamedSharding(mesh, P()))(x)
+    assert float(total) == 3.0, float(total)
+
+    # per-host DP replica serving its shard of the request stream
+    from fastkv_tpu.core.config import EngineConfig, Method, MethodConfig, ModelConfig
+    from fastkv_tpu.models.llama import init_params
+
+    cfg = ModelConfig.tiny(num_layers=1)
+    params = init_params(cfg, seed=0)
+    mcfg = MethodConfig(method=Method.FASTKV, eviction_mode="proportional",
+                        retain_rate=0.3, tsp_rate=0.5, tsp_idx=0)
+    ecfg = EngineConfig(prefill_buckets=(64,), use_pallas=False, capacity_align=8)
+    fd = local_front_door(params, cfg, mcfg, ecfg, n_replicas=1,
+                          max_batch=1, bucket=64, max_new_tokens=4)
+    rng = np.random.default_rng(7)
+    all_prompts = [list(rng.integers(0, cfg.vocab_size, size=30)) for _ in range(4)]
+    mine = all_prompts[jax.process_index()::2]
+    for p in mine:
+        fd.submit(p, 4)
+    res = fd.run()
+    assert len(res) == len(mine) and all(r["tokens"] for r in res), res
+    print(f"MULTIHOST_OK p{pid} served={len(res)}", flush=True)
+    """
+)
+
+
+def test_two_process_multicontroller_smoke(tmp_path):
+    """Two OS processes under jax.distributed: global collective + per-host
+    serving (this is the multi-host scaffolding smoke; real pods swap CPU for
+    TPU workers with auto-detected topology)."""
+    script = tmp_path / "worker.py"
+    script.write_text(_WORKER)
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    env = dict(os.environ)
+    # the container's sitecustomize registers the axon TPU plugin (which
+    # initializes the XLA backend) whenever PALLAS_AXON_POOL_IPS is set;
+    # jax.distributed.initialize must run before any backend init
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["PYTHONPATH"] = "/root/repo" + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(port), str(i)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env,
+            cwd="/root/repo",
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{out}"
+        assert f"MULTIHOST_OK p{i}" in out, out
