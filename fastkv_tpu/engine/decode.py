@@ -92,17 +92,29 @@ def decode_step(
         v_all = write(v_all, l, v_new.astype(v_all.dtype))
         pos_all = write(pos_all, l, pos_blk)
         valid_all = write(valid_all, l, jnp.ones((b, ch, 1), bool))
+        attn_valid = valid_all[l]
+        if cfg.sliding_window is not None:
+            # Sliding-window semantics at decode follow the reference's Mistral
+            # cache slicing (baselines/fastkv/mistral_model.py:72-98): the cache
+            # is capped at its last `sliding_window` ENTRIES by cache order, NOT
+            # by original token position — a compressed cache shorter than the
+            # window keeps far-past selected tokens fully visible. Entry rank is
+            # a cumsum over the validity mask (kept slots form an ordered
+            # prefix; decode slots append after).
+            rank = jnp.cumsum(attn_valid.astype(jnp.int32), axis=-1)
+            total = rank[..., -1:]
+            attn_valid = attn_valid & (rank > total - cfg.sliding_window)
         if use_pallas:
             from fastkv_tpu.ops import decode_attn
 
             attn = decode_attn.decode_attention(
-                q, k_all[l], v_all[l], valid_all[l],
-                q_pos=pos, k_pos=pos_all[l], sliding_window=cfg.sliding_window,
+                q, k_all[l], v_all[l], attn_valid,
+                q_pos=pos, k_pos=pos_all[l], sliding_window=None,
             )
         else:
             attn = att.decode_attention(
-                q, k_all[l], v_all[l], valid_all[l],
-                q_pos=pos, k_pos=pos_all[l], sliding_window=cfg.sliding_window,
+                q, k_all[l], v_all[l], attn_valid,
+                q_pos=pos, k_pos=pos_all[l], sliding_window=None,
             )
         h = h + llama.attn_out_proj(lp, attn)
         h = h + llama.mlp(lp, llama.rms_norm(h, lp["ln_mlp"], cfg.rms_norm_eps))

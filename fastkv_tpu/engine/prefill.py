@@ -116,6 +116,20 @@ class SeqState(NamedTuple):
     n_orig: jnp.ndarray  # [b] original true prompt length (window anchor)
 
 
+def _mask_positions(cfg: ModelConfig, state: SeqState) -> jnp.ndarray:
+    """Positions used for attention MASKING (RoPE always uses the original
+    positions). With a sliding window, the window distance is measured in
+    layout indices, matching the reference: post-TSP it hands flash-attn the
+    gathered sequence contiguously, so SWA counts cache entries, not original
+    positions (baselines/fastkv/mistral_model.py:72-98 + its flash call). For
+    valid-prefix ascending layouts, index-causality == position-causality, so
+    this changes only the window term."""
+    if cfg.sliding_window is None:
+        return state.positions
+    b, s = state.positions.shape
+    return jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32)[None, :], (b, s))
+
+
 def _attend(
     cfg: ModelConfig,
     q: jnp.ndarray,
@@ -124,14 +138,15 @@ def _attend(
     state: SeqState,
     use_pallas: bool,
 ) -> jnp.ndarray:
+    mpos = _mask_positions(cfg, state)
     if use_pallas:
         from fastkv_tpu.ops import flash_prefill
 
         return flash_prefill.flash_attention(
-            q, k, v, state.positions, state.count, sliding_window=cfg.sliding_window
+            q, k, v, mpos, state.count, sliding_window=cfg.sliding_window
         )
     return att.chunked_causal_attention(
-        q, k, v, state.positions, state.positions, state.valid,
+        q, k, v, mpos, mpos, state.valid,
         sliding_window=cfg.sliding_window,
     )
 

@@ -87,7 +87,8 @@ def _kernel(
     m_scr, l_scr, acc_scr = rest[i], rest[i + 1], rest[i + 2]
     i += 3
     if window_scores:
-        strip_scr = rest[i]  # [Wp, sk_pad] fp32 raw logits
+        strip_scr = rest[i]  # [Wp, sk_pad] fp32 raw logits (then probs)
+        wm_scr = rest[i + 1]  # [Wp, 128] fp32 online row max
     ib = pl.program_id(0)
     iq = pl.program_id(2)
     ik = pl.program_id(3)
@@ -146,8 +147,13 @@ def _kernel(
         # Diagonal steps see every K block exactly once (causal_skip implies a
         # shared block coordinate system, nq == nk): score the window strip
         # against the K block already resident in VMEM. Raw masked logits are
-        # staged in strip_scr; the softmax is deferred to the last grid step so
-        # it uses the true row max/denominator (exact, not online-rescaled).
+        # staged in strip_scr (+ an online row max); the softmax is deferred to
+        # the last grid step so it uses the true row max/denominator (exact,
+        # not online-rescaled).
+        @pl.when((iq == 0) & (ik == 0))
+        def _strip_init():
+            wm_scr[...] = jnp.full_like(wm_scr, NEG_INF)
+
         @pl.when(iq == ik)
         def _strip():
             qw = qw_ref[0, 0]  # [Wp, d]
@@ -164,16 +170,38 @@ def _kernel(
             wmask = (pk[None, :] <= pw) & (col_idx < count_ref[ib]) & (pw >= 0)
             sw = jnp.where(wmask, sw, NEG_INF)
             strip_scr[:, pl.ds(ik * block_k, block_k)] = sw
+            wm_scr[...] = jnp.maximum(
+                wm_scr[...], jnp.max(sw, axis=1, keepdims=True)
+            )
 
         @pl.when((iq == num_q_blocks - 1) & (ik == num_k_blocks - 1))
         def _strip_finalize():
-            strip = strip_scr[...]  # [Wp, sk_pad]
-            m = jnp.max(strip, axis=1, keepdims=True)
+            # Block-chunked two-pass softmax: full-strip elementwise temporaries
+            # ([Wp, sk_pad] fp32) would blow the scoped-VMEM stack at 192K+
+            # (measured 16.26M > 16M); per-block temporaries are [Wp, bk].
+            m = wm_scr[:, :1]  # true row max (accumulated over all blocks)
             row_valid = m > NEG_INF / 2
-            p = jnp.where(row_valid, jnp.exp(strip - m), 0.0)
-            l = jnp.sum(p, axis=1, keepdims=True)
+
+            def pass1(j, l):
+                blk = strip_scr[:, pl.ds(j * block_k, block_k)]
+                p = jnp.where(row_valid, jnp.exp(blk - m), 0.0)
+                strip_scr[:, pl.ds(j * block_k, block_k)] = p
+                return l + jnp.sum(p, axis=1, keepdims=True)
+
+            l = jax.lax.fori_loop(
+                0, num_k_blocks, pass1,
+                jnp.zeros((window_scores, 1), jnp.float32),
+            )
             inv = jnp.where(l > 0.0, 1.0 / jnp.where(l > 0.0, l, 1.0), 0.0)
-            scores_out[0, 0] = jnp.sum(p * inv, axis=0, keepdims=True)
+
+            def pass2(j, _):
+                p = strip_scr[:, pl.ds(j * block_k, block_k)]
+                scores_out[0, 0, :, pl.ds(j * block_k, block_k)] = jnp.sum(
+                    p * inv, axis=0, keepdims=True
+                )
+                return _
+
+            jax.lax.fori_loop(0, num_k_blocks, pass2, 0)
 
     @pl.when(ik == num_k_blocks - 1)
     def _finalize():
@@ -349,6 +377,7 @@ def flash_attention(
             )
         )
         scratch_shapes.append(pltpu.VMEM((wp, sk_pad), jnp.float32))
+        scratch_shapes.append(pltpu.VMEM((wp, 128), jnp.float32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
