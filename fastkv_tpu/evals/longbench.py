@@ -32,6 +32,7 @@ from fastkv_tpu.evals.longbench_tasks import (
     NO_CHAT_TEMPLATE,
     TASK_MAX_GEN,
     TASK_PROMPT,
+    base_task,
     model_max_len,
 )
 
@@ -49,15 +50,46 @@ def score_task(dataset: str, predictions, answers, all_classes) -> float:
     reference: eval/eval_longbench.py:66-75)."""
     total = 0.0
     for pred, golds in zip(predictions, answers):
-        pred = pred.lstrip("\n").split("\n")[0] if dataset in ("trec", "triviaqa", "samsum", "lsht") else pred
+        pred = pred.lstrip("\n").split("\n")[0] if base_task(dataset) in ("trec", "triviaqa", "samsum", "lsht") else pred
         best = 0.0
         for gt in golds:
-            best = max(best, M.DATASET2METRIC[dataset](pred, gt, all_classes=all_classes))
+            best = max(best, M.DATASET2METRIC[base_task(dataset)](pred, gt, all_classes=all_classes))
         total += best
     return round(100 * total / max(len(predictions), 1), 2)
 
 
-def score_results_dir(results_dir: str, datasets: Optional[List[str]] = None) -> List[List]:
+def score_task_e(dataset: str, predictions, answers, lengths, all_classes) -> Dict[str, float]:
+    """LongBench-E: scores bucketed by example length (0-4k / 4-8k / 8k+),
+    matching the reference exactly (reference: eval/eval_longbench.py:48-64)."""
+    import numpy as np
+
+    buckets: Dict[str, List[float]] = {"0-4k": [], "4-8k": [], "8k+": []}
+    for pred, golds, length in zip(predictions, answers, lengths):
+        pred = pred.lstrip("\n").split("\n")[0] if base_task(dataset) in ("trec", "triviaqa", "samsum", "lsht") else pred
+        best = 0.0
+        for gt in golds:
+            best = max(best, M.DATASET2METRIC[base_task(dataset)](pred, gt, all_classes=all_classes))
+        if length < 4000:
+            buckets["0-4k"].append(best)
+        elif length < 8000:
+            buckets["4-8k"].append(best)
+        else:
+            buckets["8k+"].append(best)
+    return {
+        k: (round(100 * float(np.mean(v)), 2) if v else float("nan"))
+        for k, v in buckets.items()
+    }
+
+
+def score_results_dir(
+    results_dir: str,
+    datasets: Optional[List[str]] = None,
+    longbench_e: bool = False,
+) -> List[List]:
+    """Score all methods x datasets. With longbench_e=True, every cell is the
+    length-bucketed scorer_e dict (reference --longbench_e flag,
+    eval_longbench.py:46,144-145); the standard run additionally emits the
+    scorer_e breakdown for 'qasper' like the reference does (:149-150)."""
     datasets = datasets or sorted(
         d for d in os.listdir(results_dir)
         if os.path.isdir(os.path.join(results_dir, d))
@@ -71,17 +103,29 @@ def score_results_dir(results_dir: str, datasets: Optional[List[str]] = None) ->
                 row.append(-1)
                 continue
             try:
-                preds, answers, all_classes = [], [], None
+                preds, answers, lengths, all_classes = [], [], [], None
                 with open(path, encoding="utf-8") as f:
                     for line in f:
                         d = json.loads(line)
                         preds.append(d["pred"])
                         answers.append(d["answers"])
                         all_classes = d["all_classes"]
-                score = score_task(dataset, preds, answers, all_classes)
-                row.append(score)
+                        if "length" in d and d["length"] is not None:
+                            lengths.append(d["length"])
+                metrics: Dict[str, object] = {}
+                if longbench_e:
+                    score = score_task_e(dataset, preds, answers, lengths, all_classes)
+                    row.append(json.dumps(score))
+                else:
+                    score = score_task(dataset, preds, answers, all_classes)
+                    row.append(score)
+                    if dataset == "qasper" and len(lengths) == len(preds):
+                        metrics["qasper_e"] = score_task_e(
+                            dataset, preds, answers, lengths, all_classes
+                        )
+                metrics[dataset] = score
                 with open(os.path.join(results_dir, dataset, "metrics.json"), "w") as f:
-                    json.dump({dataset: score}, f, ensure_ascii=False, indent=4)
+                    json.dump(metrics, f, ensure_ascii=False, indent=4)
             except Exception as e:
                 print(f"scoring {dataset}/{method} failed: {e}", file=sys.stderr)
                 row.append(-1)
@@ -151,8 +195,8 @@ def run_task(engine, tokenizer, args, dataset: str) -> None:
         print(f"skip {dataset}: no data at {data_file}", file=sys.stderr)
         return
     cap = model_max_len(args.model_path, args.method)
-    max_gen = TASK_MAX_GEN[dataset]
-    template = TASK_PROMPT[dataset]
+    max_gen = TASK_MAX_GEN[base_task(dataset)]
+    template = TASK_PROMPT[base_task(dataset)]
 
     examples = []
     with open(data_file, encoding="utf-8") as f:
@@ -173,7 +217,7 @@ def run_task(engine, tokenizer, args, dataset: str) -> None:
     with open(out_path, "w", encoding="utf-8") as fout:
         for ex in examples:
             prompt = template.format(**ex)
-            if dataset not in NO_CHAT_TEMPLATE:
+            if base_task(dataset) not in NO_CHAT_TEMPLATE:
                 prompt = tokenizer.apply_chat_template(
                     [{"role": "user", "content": prompt}],
                     tokenize=False,
@@ -232,10 +276,11 @@ def main(argv=None):
     add_method_args(runp)
     scorep = sub.add_parser("score")
     scorep.add_argument("--results_dir", default="outputs/results_longbench")
+    scorep.add_argument("--longbench_e", action="store_true", help="length-bucketed scorer_e (reference eval_longbench.py:46)")
     args = parser.parse_args(argv)
 
     if args.cmd == "score":
-        rows = score_results_dir(args.results_dir)
+        rows = score_results_dir(args.results_dir, longbench_e=args.longbench_e)
         for row in rows:
             print(",".join(str(x) for x in row))
         return

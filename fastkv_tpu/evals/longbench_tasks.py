@@ -68,3 +68,11 @@ def model_max_len(model_name: str, method: str) -> int:
         if key in name:
             out = val
     return out
+
+
+# LongBench-E task names carry an `_e` suffix (length-balanced variants; the
+# reference ships them as data/LongBench/<task>_e.jsonl and scores them with
+# scorer_e, eval/eval_longbench.py:48-64). Templates/metrics/gen-lengths are
+# those of the base task.
+def base_task(name: str) -> str:
+    return name[:-2] if name.endswith("_e") else name
