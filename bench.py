@@ -9,13 +9,23 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where value is
 the measured decode speedup and vs_baseline normalizes by the reference's 2.87x.
 Details go to stderr.
 
-Env knobs: FASTKV_BENCH_CTX (default 229376), FASTKV_BENCH_GEN (default 128),
-FASTKV_BENCH_MODEL (default llama-3.2-1b), FASTKV_BENCH_CPU=1 for a tiny CPU
-smoke run.
+Context is chosen by a DESCENDING OOM-FALLBACK LADDER (default
+229376 -> 163840 -> 131072): each rung runs both methods; a
+RESOURCE_EXHAUSTED on either drops to the next rung, so one OOM never
+costs the whole round its number (round 2 failed exactly that way).
+The JSON line reports the largest rung that completed.
+
+Env knobs: FASTKV_BENCH_CTX (pins a single context, ladder rungs below it
+kept as fallbacks), FASTKV_BENCH_GEN (default 128), FASTKV_BENCH_MODEL
+(default llama-3.2-1b), FASTKV_BENCH_CPU=1 for a tiny CPU smoke run,
+FASTKV_BENCH_FUSION_AB=1 to additionally time the fused-TSP flash kernel
+against the unfused XLA scoring pass, FASTKV_BENCH_QUANT=int8 to run both
+methods with int8 weights (see ROOFLINE.md).
 """
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -26,13 +36,19 @@ import jax.numpy as jnp
 import numpy as np
 
 REF_DECODE_SPEEDUP = 2.87  # reference README.md:16
+DEFAULT_LADDER = (229376, 163840, 131072)
+
+
+def is_oom(e: BaseException) -> bool:
+    s = str(e)
+    return "RESOURCE_EXHAUSTED" in s or "Resource exhausted" in s.lower()
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def bench_method(method_name, cfg, params, ctx, genlen, ecfg_kw):
+def bench_method(method_name, cfg, params, ctx, genlen, ecfg_kw, prefill_only=False):
     from fastkv_tpu.core.config import EngineConfig, Method, MethodConfig
     from fastkv_tpu.engine import decode as decode_mod
     from fastkv_tpu.engine import prefill as prefill_mod
@@ -75,27 +91,30 @@ def bench_method(method_name, cfg, params, ctx, genlen, ecfg_kw):
     logits, cache = pf(params, tokens, n_true)
     force(logits)
     log(f"[{method_name}] prefill compile+first-run {time.perf_counter()-t0:.1f}s")
-    t0 = time.perf_counter()
-    res, cache2 = gg(params, logits, cache, n_true)
-    force(res.tokens)
-    del cache2
-    log(f"[{method_name}] decode compile+first-run {time.perf_counter()-t0:.1f}s")
+    if not prefill_only:
+        t0 = time.perf_counter()
+        res, cache2 = gg(params, logits, cache, n_true)
+        force(res.tokens)
+        del cache2
+        log(f"[{method_name}] decode compile+first-run {time.perf_counter()-t0:.1f}s")
 
     # measured
-    prefill_times, decode_times = [], []
+    prefill_times, decode_times = [], [0.0]
     runs = int(os.environ.get("FASTKV_BENCH_RUNS", "2"))
     for _ in range(runs):
         t0 = time.perf_counter()
         logits, cache = pf(params, tokens, n_true)
         force(logits)
         prefill_times.append(time.perf_counter() - t0)
+        if prefill_only:
+            continue
         t0 = time.perf_counter()
         res, cache2 = gg(params, logits, cache, n_true)
         force(res.tokens)
         decode_times.append(time.perf_counter() - t0)
         del cache2
     pt = float(np.mean(prefill_times))
-    dt = float(np.mean(decode_times))
+    dt = float(np.mean(decode_times[1:])) if not prefill_only else 0.0
     tok_s = (genlen - 1) / dt if dt > 0 else float("inf")
     mem = None
     try:
@@ -132,18 +151,24 @@ def main():
         from fastkv_tpu.core.config import ModelConfig
 
         cfg = ModelConfig.tiny(num_layers=4)
-        ctx, genlen = 512, 16
+        ladder, genlen = (512,), 16
         ecfg_kw = dict(use_pallas=False, capacity_align=8)
     else:
         name = os.environ.get("FASTKV_BENCH_MODEL", "llama-3.2-1b")
         cfg = MODEL_PRESETS[name](dtype="bfloat16")
-        # Default ctx 224K: the largest bucket where fullkv still fits one v5e
-        # (weights 2.5 GB + fullkv cache ~7.6 GB + prefill transients; the
-        # chunked MLP caps activation peaks). At 128K the 1B model's weights
-        # dominate bytes/token and cap the decode-speedup ceiling at ~2.3x
-        # regardless of implementation (see ROOFLINE.md); 224K is a fair
-        # full-context-vs-fastkv point with a ceiling near the reference's.
-        ctx = int(os.environ.get("FASTKV_BENCH_CTX", "229376"))
+        # Preferred ctx 224K: at 128K the 1B model's weights dominate decode
+        # bytes/token and cap the decode-speedup ceiling at ~2.3x regardless of
+        # implementation (see ROOFLINE.md); 224K raises the fullkv cache:weights
+        # ratio so the ceiling is near the reference's 2.87x. But 224K is
+        # memory-tight on a 16 GB v5e (round 2's single-point run OOMed), hence
+        # the descending ladder: each rung is attempted for BOTH methods and an
+        # OOM drops one rung.
+        env_ctx = os.environ.get("FASTKV_BENCH_CTX")
+        if env_ctx:
+            c = int(env_ctx)
+            ladder = (c,) + tuple(x for x in DEFAULT_LADDER if x < c)
+        else:
+            ladder = DEFAULT_LADDER
         genlen = int(os.environ.get("FASTKV_BENCH_GEN", "128"))
         ecfg_kw = dict(use_pallas=os.environ.get("FASTKV_BENCH_PALLAS", "1") == "1")
         dp = os.environ.get("FASTKV_BENCH_DECODE_PALLAS")
@@ -151,7 +176,7 @@ def main():
             ecfg_kw["decode_use_pallas"] = dp == "1"
 
     dev = jax.devices()[0]
-    log(f"device: {dev.device_kind}, model: {cfg.name}, ctx={ctx}, genlen={genlen}")
+    log(f"device: {dev.device_kind}, model: {cfg.name}, ladder={ladder}, genlen={genlen}")
     from fastkv_tpu.models.llama import init_params_on_device
     from fastkv_tpu.utils.timing import force, warmup_device
 
@@ -161,15 +186,49 @@ def main():
     force(params["final_norm"])
     log(f"params initialised on device in {time.perf_counter()-t0:.1f}s")
 
-    full = bench_method("fullkv", cfg, params, ctx, genlen, ecfg_kw)
-    fast = bench_method("fastkv", cfg, params, ctx, genlen, ecfg_kw)
+    full = fast = ctx = None
+    for rung in ladder:
+        try:
+            full = bench_method("fullkv", cfg, params, rung, genlen, ecfg_kw)
+            fast = bench_method("fastkv", cfg, params, rung, genlen, ecfg_kw)
+            ctx = rung
+            break
+        except Exception as e:  # noqa: BLE001 — OOM type varies by backend
+            if not is_oom(e):
+                raise
+            log(f"ctx={rung}: RESOURCE_EXHAUSTED — dropping one ladder rung")
+            full = fast = None
+            gc.collect()
+            jax.clear_caches()
+    if full is None or fast is None:
+        raise RuntimeError(f"every ladder rung OOMed: {ladder}")
 
     speedup = full["decode_s"] / fast["decode_s"]
     prefill_ratio = full["prefill_s"] / fast["prefill_s"]
     log(
-        f"decode speedup {speedup:.2f}x  prefill ratio {prefill_ratio:.2f}x  "
+        f"ctx={ctx}: decode speedup {speedup:.2f}x  prefill ratio {prefill_ratio:.2f}x  "
         f"fastkv {fast['tok_s']:.1f} tok/s vs fullkv {full['tok_s']:.1f} tok/s"
     )
+
+    # --- Fused-TSP kernel A/B (VERDICT r2 task 1) ---------------------------
+    # Times the fastkv prefill with the observation-window scoring fused into
+    # the Pallas flash kernel vs the separate O(W*s) XLA scoring pass.
+    if os.environ.get("FASTKV_BENCH_FUSION_AB", "1") == "1" and ecfg_kw.get(
+        "use_pallas", True
+    ):
+        try:
+            unfused = bench_method(
+                "fastkv", cfg, params, ctx, genlen,
+                {**ecfg_kw, "fuse_window_scores": False}, prefill_only=True,
+            )
+            log(
+                f"fusion A/B at ctx={ctx}: fused prefill {fast['prefill_s']*1e3:.1f}ms "
+                f"vs unfused {unfused['prefill_s']*1e3:.1f}ms "
+                f"({unfused['prefill_s']/fast['prefill_s']:.3f}x gain from fusion)"
+            )
+        except Exception as e:  # never lose the headline JSON to the A/B
+            log(f"fusion A/B failed: {type(e).__name__}: {e}")
+            gc.collect()
 
     # --- Decode roofline (see ROOFLINE.md) ---------------------------------
     # Batch-1 decode is HBM-bandwidth-bound: every step must stream the model

@@ -394,6 +394,11 @@ class EngineConfig:
     # for experimentation (ops/decode_attn.py).
     decode_use_pallas: Optional[bool] = None
     decode_block: int = 256  # decode-cache growth granularity
+    # Fuse the SnapKV/TSP observation-window scoring into the Pallas flash
+    # prefill kernel (keys stream through VMEM once for attention AND scoring).
+    # False falls back to the separate O(W*s) XLA scoring pass even when
+    # use_pallas is set — kept as a toggle so bench.py can A/B the fusion.
+    fuse_window_scores: bool = True
     # Sequence-chunked MLP during prefill: caps the [s, intermediate]
     # activation footprint for very long contexts. 0 = never chunk;
     # None = auto (chunk at 32K when the bucket is >= 128K).

@@ -305,6 +305,7 @@ def make_layer_fn(
     # -> psum -> global top-k, SURVEY.md §5 'Long-context').
     fused_scores = (
         ecfg.use_pallas
+        and ecfg.fuse_window_scores
         and sp_attend is None
         and mcfg.method in (Method.FASTKV, Method.SNAPKV)
     )
