@@ -40,8 +40,11 @@ DEFAULT_LADDER = (229376, 163840, 131072)
 
 
 def is_oom(e: BaseException) -> bool:
-    s = str(e)
-    return "RESOURCE_EXHAUSTED" in s or "Resource exhausted" in s.lower()
+    s = str(e).lower()
+    # HBM OOM surfaces as RESOURCE_EXHAUSTED; compile-time scoped-VMEM OOM as
+    # an Internal "Ran out of memory in memory space vmem" — both shrink away
+    # with a smaller context rung
+    return "resource_exhausted" in s or "resource exhausted" in s or "ran out of memory" in s
 
 
 def log(*a):
@@ -186,6 +189,21 @@ def main():
     force(params["final_norm"])
     log(f"params initialised on device in {time.perf_counter()-t0:.1f}s")
 
+    # int8 weight-only quantization (applied to BOTH methods, so the speedup
+    # ratio stays a fair fastkv-vs-fullkv comparison): batch-1 decode streams
+    # the weights every step, so int8 nearly halves the weight term of
+    # bytes/token and raises the attainable speedup ceiling (ROOFLINE.md).
+    quant_mode = "none" if cpu_smoke else os.environ.get("FASTKV_BENCH_QUANT", "int8")
+    if quant_mode == "int8":
+        from fastkv_tpu.core.quant import quantize_params_int8
+
+        t0 = time.perf_counter()
+        params = jax.jit(quantize_params_int8)(params)
+        force(params["final_norm"])
+        log(f"weights quantized to int8 in {time.perf_counter()-t0:.1f}s")
+    if os.environ.get("FASTKV_BENCH_KV", "bf16") == "int8" and not cpu_smoke:
+        ecfg_kw["kv_int8"] = True
+
     full = fast = ctx = None
     for rung in ladder:
         try:
@@ -212,19 +230,26 @@ def main():
 
     # --- Fused-TSP kernel A/B (VERDICT r2 task 1) ---------------------------
     # Times the fastkv prefill with the observation-window scoring fused into
-    # the Pallas flash kernel vs the separate O(W*s) XLA scoring pass.
+    # the Pallas flash kernel vs the separate O(W*s) XLA scoring pass. Runs at
+    # the largest context where the fusion is active (beyond ~106K the engine
+    # itself falls back to the XLA pass — flash_prefill.fusion_vmem_ok — so an
+    # A/B at the headline context would time two identical programs).
     if os.environ.get("FASTKV_BENCH_FUSION_AB", "1") == "1" and ecfg_kw.get(
         "use_pallas", True
     ):
         try:
+            ab_ctx = min(ctx, 98304)
+            fused = bench_method(
+                "fastkv", cfg, params, ab_ctx, genlen, ecfg_kw, prefill_only=True,
+            )
             unfused = bench_method(
-                "fastkv", cfg, params, ctx, genlen,
+                "fastkv", cfg, params, ab_ctx, genlen,
                 {**ecfg_kw, "fuse_window_scores": False}, prefill_only=True,
             )
             log(
-                f"fusion A/B at ctx={ctx}: fused prefill {fast['prefill_s']*1e3:.1f}ms "
+                f"fusion A/B at ctx={ab_ctx}: fused prefill {fused['prefill_s']*1e3:.1f}ms "
                 f"vs unfused {unfused['prefill_s']*1e3:.1f}ms "
-                f"({unfused['prefill_s']/fast['prefill_s']:.3f}x gain from fusion)"
+                f"({unfused['prefill_s']/fused['prefill_s']:.3f}x gain from fusion)"
             )
         except Exception as e:  # never lose the headline JSON to the A/B
             log(f"fusion A/B failed: {type(e).__name__}: {e}")
@@ -260,7 +285,11 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"fastkv_vs_fullkv_decode_speedup_ctx{ctx}_{cfg.name}",
+                "metric": (
+                    f"fastkv_vs_fullkv_decode_speedup_ctx{ctx}_{cfg.name}"
+                    + ("_int8w" if quant_mode == "int8" else "")
+                    + ("_int8kv" if ecfg_kw.get("kv_int8") else "")
+                ),
                 "value": round(speedup, 3),
                 "unit": "x",
                 "vs_baseline": round(speedup / REF_DECODE_SPEEDUP, 3),

@@ -27,10 +27,14 @@ import jax.numpy as jnp
 
 
 class KVCache(NamedTuple):
-    k: jnp.ndarray  # [L, b, CH, C_total, d]
+    k: jnp.ndarray  # [L, b, CH, C_total, d] (bf16, or int8 when quantized)
     v: jnp.ndarray  # [L, b, CH, C_total, d]
     pos: jnp.ndarray  # [L, b, CH, C_total] int32
     valid: jnp.ndarray  # [L, b, CH, C_total] bool
+    # int8 mode (EngineConfig.kv_int8): per-(head, slot) fp32 absmax scales,
+    # folded into attention (ops.attention.decode_attention) — None otherwise
+    k_scale: Optional[jnp.ndarray] = None  # [L, b, CH, C_total]
+    v_scale: Optional[jnp.ndarray] = None
 
     @property
     def num_layers(self) -> int:
@@ -52,13 +56,18 @@ def empty_cache(
     capacity: int,
     head_dim: int,
     dtype=jnp.bfloat16,
+    kv_int8: bool = False,
 ) -> KVCache:
     shape = (num_layers, batch, cache_heads, capacity, head_dim)
+    if kv_int8:
+        dtype = jnp.int8
     return KVCache(
         k=jnp.zeros(shape, dtype),
         v=jnp.zeros(shape, dtype),
         pos=jnp.zeros(shape[:-1], jnp.int32),
         valid=jnp.zeros(shape[:-1], bool),
+        k_scale=jnp.zeros(shape[:-1], jnp.float32) if kv_int8 else None,
+        v_scale=jnp.zeros(shape[:-1], jnp.float32) if kv_int8 else None,
     )
 
 

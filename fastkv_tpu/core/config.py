@@ -399,6 +399,12 @@ class EngineConfig:
     # False falls back to the separate O(W*s) XLA scoring pass even when
     # use_pallas is set — kept as a toggle so bench.py can A/B the fusion.
     fuse_window_scores: bool = True
+    # Store the KV cache as int8 with per-(head, slot) scales (core.quant):
+    # halves decode cache bytes/token and prefill cache residency. Scales fold
+    # into the attention math (ops.attention.decode_attention), so there is no
+    # dequantized cache copy. Applies to the standard KVCache path; the
+    # PyramidInfer engine manages its own buffers and ignores this flag.
+    kv_int8: bool = False
     # Sequence-chunked MLP during prefill: caps the [s, intermediate]
     # activation footprint for very long contexts. 0 = never chunk;
     # None = auto (chunk at 32K when the bucket is >= 128K).

@@ -68,6 +68,8 @@ def decode_step(
 
     k_all, v_all = cache.k, cache.v
     pos_all, valid_all = cache.pos, cache.valid
+    ks_all, vs_all = cache.k_scale, cache.v_scale
+    quantized = ks_all is not None  # int8 cache (EngineConfig.kv_int8)
     pos_blk = jnp.broadcast_to(pos[:, None, None], (b, ch, 1)).astype(jnp.int32)
     per_example = getattr(slot, "ndim", 0) == 1
 
@@ -88,6 +90,13 @@ def decode_step(
         if g_rep > 1:  # reference repeats kv before caching (snapkv/h2o)
             k_new = jnp.repeat(k_new, g_rep, axis=1)
             v_new = jnp.repeat(v_new, g_rep, axis=1)
+        if quantized:
+            from fastkv_tpu.core import quant
+
+            k_new, k_sc = quant.quantize_kv(k_new)
+            v_new, v_sc = quant.quantize_kv(v_new)
+            ks_all = write(ks_all, l, k_sc)
+            vs_all = write(vs_all, l, v_sc)
         k_all = write(k_all, l, k_new.astype(k_all.dtype))
         v_all = write(v_all, l, v_new.astype(v_all.dtype))
         pos_all = write(pos_all, l, pos_blk)
@@ -104,7 +113,7 @@ def decode_step(
             rank = jnp.cumsum(attn_valid.astype(jnp.int32), axis=-1)
             total = rank[..., -1:]
             attn_valid = attn_valid & (rank > total - cfg.sliding_window)
-        if use_pallas:
+        if use_pallas and not quantized:  # Pallas decode kernel is bf16-only
             from fastkv_tpu.ops import decode_attn
 
             attn = decode_attn.decode_attention(
@@ -115,11 +124,16 @@ def decode_step(
             attn = att.decode_attention(
                 q, k_all[l], v_all[l], attn_valid,
                 q_pos=pos, k_pos=pos_all[l], sliding_window=None,
+                k_scale=ks_all[l] if quantized else None,
+                v_scale=vs_all[l] if quantized else None,
             )
         h = h + llama.attn_out_proj(lp, attn)
         h = h + llama.mlp(lp, llama.rms_norm(h, lp["ln_mlp"], cfg.rms_norm_eps))
 
-    new_cache = KVCache(k=k_all, v=v_all, pos=pos_all, valid=valid_all)
+    new_cache = KVCache(
+        k=k_all, v=v_all, pos=pos_all, valid=valid_all,
+        k_scale=ks_all, v_scale=vs_all,
+    )
     logits = llama.unembed(params, cfg, h)[:, 0, :]
     return logits, new_cache
 

@@ -62,6 +62,12 @@ class Engine:
         return self._prefill_cache[key]
 
     def generate_fn(self, bucket: int, max_new: int, num_eos: int, min_new: int):
+        """Compiled greedy-generation program for one shape key.
+
+        NOTE: the returned function DONATES its `cache` argument (argnum 2) —
+        the prefill cache buffer is consumed and must not be reused or read
+        after the call. Callers needing to generate twice from one prefill
+        must re-run prefill (or copy the cache first)."""
         key = (bucket, max_new, num_eos, min_new)
         if key not in self._gen_cache:
             shapes = self.shapes_for(bucket, max_new)

@@ -252,8 +252,12 @@ def _gather_cache(
     state: SeqState,
     keep: methods.KeepSet,
     decode_capacity: int,
+    kv_int8: bool = False,
 ):
-    """Gather kept K/V/pos into one layer's cache arrays (+ decode headroom)."""
+    """Gather kept K/V/pos into one layer's cache arrays (+ decode headroom).
+
+    With kv_int8, K/V are stored int8 with per-(head, slot) scales appended
+    to the returned tuple (core.quant.quantize_kv)."""
     b, kh, s, d = k.shape
     ch = keep.idx.shape[1]
     if ch == kh:
@@ -272,11 +276,19 @@ def _gather_cache(
     pos_kept = jnp.where(keep.valid, pos_kept, 0)
     pad_kv = ((0, 0), (0, 0), (0, decode_capacity), (0, 0))
     pad_m = ((0, 0), (0, 0), (0, decode_capacity))
+    parts = []
+    if kv_int8:
+        from fastkv_tpu.core import quant
+
+        k_kept, k_sc = quant.quantize_kv(k_kept)
+        v_kept, v_sc = quant.quantize_kv(v_kept)
+        parts = [jnp.pad(k_sc, pad_m), jnp.pad(v_sc, pad_m)]
     return (
         jnp.pad(k_kept, pad_kv),
         jnp.pad(v_kept, pad_kv),
         jnp.pad(pos_kept, pad_m),
         jnp.pad(keep.valid, pad_m),
+        *parts,
     )
 
 
@@ -302,13 +314,21 @@ def make_layer_fn(
     # replacing the separate O(W*s) XLA pass + K re-read. Under SP the kernel
     # is per-shard, so scoring goes through the XLA pass (whose softmax-over-s
     # reductions the partitioner turns into seq-axis collectives: local scores
-    # -> psum -> global top-k, SURVEY.md §5 'Long-context').
+    # -> psum -> global top-k, SURVEY.md §5 'Long-context'). Beyond ~106K the
+    # strip scratch no longer fits scoped VMEM at full attention blocks and
+    # fusing would cost more than it saves (flash_prefill.fusion_vmem_ok) —
+    # fall back to the XLA pass there.
+    seg_len = shapes.tsp_capacity if is_post_tsp else shapes.bucket
     fused_scores = (
         ecfg.use_pallas
         and ecfg.fuse_window_scores
         and sp_attend is None
         and mcfg.method in (Method.FASTKV, Method.SNAPKV)
     )
+    if fused_scores:
+        from fastkv_tpu.ops.flash_prefill import fusion_vmem_ok
+
+        fused_scores = fusion_vmem_ok(seg_len, mcfg.window_size)
 
     def layer_fn(state: SeqState, lp: Dict[str, jnp.ndarray]):
         h = state.h
@@ -322,10 +342,18 @@ def make_layer_fn(
             from fastkv_tpu.ops import flash_prefill
 
             q_win, win_idx, win_valid = _window_rows(q, state, mcfg.window_size)
-            qw_pos = jnp.take_along_axis(state.positions, win_idx, axis=1)
+            # Masking positions, NOT raw original positions: with a sliding
+            # window the distance must be measured in layout indices (see
+            # _mask_positions) or post-TSP far-past selected tokens would be
+            # wrongly windowed out. For ascending valid-prefix layouts
+            # index-causality == position-causality, so the strip scores and
+            # the causal mask are unchanged when sliding_window is None
+            # (mpos == state.positions there).
+            fmpos = _mask_positions(cfg, state)
+            qw_pos = jnp.take_along_axis(fmpos, win_idx, axis=1)
             qw_pos = jnp.where(win_valid, qw_pos, -1)
             attn, raw = flash_prefill.flash_attention(
-                q, k, v, state.positions, state.count,
+                q, k, v, fmpos, state.count,
                 sliding_window=cfg.sliding_window,
                 window_q=q_win, window_q_pos=qw_pos,
             )
@@ -346,7 +374,8 @@ def make_layer_fn(
             precomputed_scores=precomputed,
         )
         cache_layer = _gather_cache(
-            cfg, mcfg.method, k, v, state, keep, shapes.decode_capacity
+            cfg, mcfg.method, k, v, state, keep, shapes.decode_capacity,
+            kv_int8=ecfg.kv_int8,
         )
         new_state = state._replace(h=h)
         tsp_out = None
@@ -491,7 +520,7 @@ def prefill(
         fn = make_layer_fn(cfg, mcfg, ecfg, shapes, is_post_tsp=False, sp_attend=sp_attend)
         state, cache_parts = scan_segment(fn, state, lay)
 
-    cache = KVCache(k=cache_parts[0], v=cache_parts[1], pos=cache_parts[2], valid=cache_parts[3])
+    cache = KVCache(*cache_parts)
 
     # AdaKV-style cut-off: LM head on the single last valid token
     last_idx = jnp.maximum(state.count - 1, 0)[:, None]

@@ -90,7 +90,7 @@ class Scheduler:
         ch = cache_heads(mcfg.method, cfg)
         self.cache = empty_cache(
             cfg.num_layers, max_batch, ch, self.shapes.total_capacity,
-            cfg.head_dim, dtype=jnp.dtype(cfg.dtype),
+            cfg.head_dim, dtype=jnp.dtype(cfg.dtype), kv_int8=self.ecfg.kv_int8,
         )
         self.tok = np.zeros(max_batch, np.int32)
         self.pos = np.zeros(max_batch, np.int32)
@@ -154,12 +154,11 @@ class Scheduler:
             first = int(np.asarray(jnp.argmax(logits[0])))
             req.prefill_done_at = time.perf_counter()
             req.tokens = [first]
-            # install the request's compressed cache into its slot
-            self.cache = KVCache(
-                k=self.cache.k.at[:, slot].set(cache1.k[:, 0]),
-                v=self.cache.v.at[:, slot].set(cache1.v[:, 0]),
-                pos=self.cache.pos.at[:, slot].set(cache1.pos[:, 0]),
-                valid=self.cache.valid.at[:, slot].set(cache1.valid[:, 0]),
+            # install the request's compressed cache into its slot (covers the
+            # int8 scale planes when present — tree_map skips None fields)
+            self.cache = jax.tree_util.tree_map(
+                lambda dst, src: dst.at[:, slot].set(src[:, 0]),
+                self.cache, cache1,
             )
             self.tok[slot] = first
             self.pos[slot] = n

@@ -176,6 +176,12 @@ class FrontDoor:
                     if rid in done:
                         t.result = done[rid]
                         del r.assigned[rid]
+                if r.alive and r.idx in results and r.assigned:
+                    # a drain round returned without completing every assigned
+                    # request: treat the replica as wedged (a live replica that
+                    # makes zero progress per round would otherwise spin this
+                    # loop forever) and let re-admission move its requests
+                    r.alive = False
                 if not r.alive and r.assigned:
                     # failure detected: orphaned queued/in-flight requests
                     orphans.extend(r.assigned.values())

@@ -164,12 +164,28 @@ def rms_norm(x: jnp.ndarray, w: jnp.ndarray, eps: float) -> jnp.ndarray:
     return (normed * w.astype(jnp.float32)).astype(x.dtype)
 
 
+def linear(lp: Params, name: str, x: jnp.ndarray) -> jnp.ndarray:
+    """x @ lp[name], transparently handling int8 weight-only quantization.
+
+    When a `<name>_scale` sibling exists (see core.quant.quantize_params_int8)
+    the weight is int8 with per-output-channel fp32 scales: the dot runs with
+    the int8 operand converted in-stream (XLA reads 1 byte/element from HBM —
+    the decode-roofline win) and the fp32 product is scaled per column.
+    """
+    w = lp[name]
+    s = lp.get(name + "_scale")
+    if s is None:
+        return x @ w
+    y = jnp.dot(x, w.astype(x.dtype), preferred_element_type=jnp.float32)
+    return (y * s).astype(x.dtype)
+
+
 def qkv_proj(lp: Params, cfg: ModelConfig, h_normed: jnp.ndarray):
     """h_normed [b, s, D] -> q [b, H, s, d], k/v [b, KH, s, d] (pre-RoPE)."""
     b, s, _ = h_normed.shape
-    q = h_normed @ lp["wq"]
-    k = h_normed @ lp["wk"]
-    v = h_normed @ lp["wv"]
+    q = linear(lp, "wq", h_normed)
+    k = linear(lp, "wk", h_normed)
+    v = linear(lp, "wv", h_normed)
     q = q.reshape(b, s, cfg.num_heads, cfg.head_dim).transpose(0, 2, 1, 3)
     k = k.reshape(b, s, cfg.num_kv_heads, cfg.head_dim).transpose(0, 2, 1, 3)
     v = v.reshape(b, s, cfg.num_kv_heads, cfg.head_dim).transpose(0, 2, 1, 3)
@@ -188,26 +204,41 @@ def mlp(lp: Params, x: jnp.ndarray, chunk: int = 0) -> jnp.ndarray:
         xs = x.reshape(b, s // chunk, chunk, dm).transpose(1, 0, 2, 3)
         ys = jax.lax.map(lambda c: mlp(lp, c), xs)
         return ys.transpose(1, 0, 2, 3).reshape(b, s, dm)
-    gate = x @ lp["w_gate"]
-    up = x @ lp["w_up"]
-    return (jax.nn.silu(gate) * up) @ lp["w_down"]
+    gate = linear(lp, "w_gate", x)
+    up = linear(lp, "w_up", x)
+    return linear(lp, "w_down", jax.nn.silu(gate) * up)
 
 
 def attn_out_proj(lp: Params, attn: jnp.ndarray) -> jnp.ndarray:
     """attn [b, H, s, d] -> [b, s, D]."""
     b, H, s, d = attn.shape
-    return attn.transpose(0, 2, 1, 3).reshape(b, s, H * d) @ lp["wo"]
+    return linear(lp, "wo", attn.transpose(0, 2, 1, 3).reshape(b, s, H * d))
 
 
 def embed(params: Params, cfg: ModelConfig, tokens: jnp.ndarray) -> jnp.ndarray:
-    return jnp.take(params["embed"], tokens, axis=0)
+    rows = jnp.take(params["embed"], tokens, axis=0)
+    s = params.get("embed_scale")
+    if s is None:
+        return rows
+    # int8 table: per-row scales gathered alongside (core.quant)
+    dtype = jnp.dtype(cfg.dtype)
+    return (rows.astype(jnp.float32) * jnp.take(s, tokens, axis=0)).astype(dtype)
 
 
 def unembed(params: Params, cfg: ModelConfig, h: jnp.ndarray) -> jnp.ndarray:
     """Final norm + LM head. h [b, s, D] -> logits [b, s, V] fp32."""
     h = rms_norm(h, params["final_norm"], cfg.rms_norm_eps)
-    w = params["embed"].T if cfg.tie_word_embeddings else params["lm_head"]
-    return jnp.einsum("bsd,dv->bsv", h, w, preferred_element_type=jnp.float32)
+    if cfg.tie_word_embeddings:
+        w, s = params["embed"], params.get("embed_scale")
+        y = jnp.einsum(
+            "bsd,vd->bsv", h, w.astype(h.dtype), preferred_element_type=jnp.float32
+        )
+        return y * s[:, 0] if s is not None else y
+    w, s = params["lm_head"], params.get("lm_head_scale")
+    y = jnp.einsum(
+        "bsd,dv->bsv", h, w.astype(h.dtype), preferred_element_type=jnp.float32
+    )
+    return y * s[0] if s is not None else y
 
 
 class RopeCache:

@@ -283,6 +283,8 @@ def decode_attention(
     q_pos: Optional[jnp.ndarray] = None,
     k_pos: Optional[jnp.ndarray] = None,
     sliding_window: Optional[int] = None,
+    k_scale: Optional[jnp.ndarray] = None,
+    v_scale: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Single-token decode attention over the compressed cache (XLA path).
 
@@ -290,6 +292,12 @@ def decode_attention(
     CH may be num_kv_heads (GQA grouping) or num_heads (per-head caches, the
     reference SnapKV/H2O layout). Causality is implied: every valid cache entry
     precedes the query. Pallas-accelerated variant: fastkv_tpu.ops.decode_attn.
+
+    int8 cache (k_scale/v_scale [b, CH, C] fp32, core.quant.quantize_kv): the
+    per-slot scales FOLD into the math — K scales multiply logit columns
+    (q·(k*s) == (q·k)*s), V scales fold into the softmax probabilities
+    ((p*s)·v == p·(v*s)) — so the int8 tensors go straight into the dots and
+    no dequantized [C, d] copy ever exists.
     """
     b, H, _, d = q.shape
     ch = k_cache.shape[1]
@@ -302,12 +310,17 @@ def decode_attention(
     g = H // ch
     qg = q.reshape(b, ch, g, d)
     logits = jnp.einsum(
-        "bcgd,bcsd->bcgs", qg, k_cache, preferred_element_type=jnp.float32
+        "bcgd,bcsd->bcgs", qg, k_cache.astype(q.dtype),
+        preferred_element_type=jnp.float32,
     ) * (d**-0.5)
+    if k_scale is not None:
+        logits = logits * k_scale[:, :, None, :]
     logits = jnp.where(mask[:, :, None, :], logits, NEG_INF)
     p = jax.nn.softmax(logits, axis=-1)
+    if v_scale is not None:
+        p = p * v_scale[:, :, None, :]
     out = jnp.einsum(
-        "bcgs,bcsd->bcgd", p.astype(v_cache.dtype), v_cache,
+        "bcgs,bcsd->bcgd", p.astype(q.dtype), v_cache.astype(q.dtype),
         preferred_element_type=jnp.float32,
     )
     return out.reshape(b, H, 1, d).astype(q.dtype)

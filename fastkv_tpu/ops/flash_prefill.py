@@ -44,6 +44,20 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
+def fusion_vmem_ok(sk: int, window: int, block: int = 1024) -> bool:
+    """True if fused window scoring fits scoped VMEM WITHOUT shrinking the
+    attention blocks. The raw-logit strip ([wp, sk] fp32) lives in VMEM for
+    the whole kernel; at 1024^2 blocks the remaining footprint is ~12.5 MB
+    (measured: 16.54M scoped at sk=131072 > the 16M limit), so the strip must
+    stay under ~3.4 MB. Beyond that the caller should use the separate XLA
+    scoring pass instead: prefill is MXU-compute-bound, and halving the
+    blocks to make VMEM room costs ~60% more attention time (measured at
+    131072: 20.9s fused@512^2 vs 13.1s unfused@1024^2) while the fusion only
+    saves an O(K) HBM re-read (~2% of prefill)."""
+    wp = ((window + 7) // 8) * 8
+    return sk * 4 * wp <= 3_400_000 or block <= 512
+
+
 def _below_or_on_diag(iq: jnp.ndarray, bq: int, ik: jnp.ndarray, bk: int):
     """True if kv block ik overlaps the causal (lower-triangular) region of
     query block iq, i.e. first kv index <= last q index."""
@@ -263,14 +277,23 @@ def flash_attention(
             window_q_pos = jnp.pad(
                 window_q_pos, ((0, 0), (0, wp - w)), constant_values=-1
             )
-        # VMEM budget: the raw-logit strip ([wp, s_pad] fp32) + the full-row
-        # scores output must coexist with the per-block buffers. At 1024^2
-        # blocks the non-strip footprint is ~11 MB, which VMEM-OOMs beyond
-        # ~128K context (measured: 17.54M > 16M at 192K). Halving the blocks
-        # frees ~6 MB and keeps the kernel compiling out to 256K+.
-        if sk > 131072:
+        # VMEM budget: the raw-logit strip ([wp, s_pad] fp32, 32*sk bytes at
+        # W=8) + the full-row scores output must coexist with the per-block
+        # buffers (~12.5 MB at 1024^2 blocks: measured 16.54M scoped at
+        # sk=131072, 17.54M at 192K — both over the 16M scoped-VMEM limit).
+        # Halving the blocks frees ~6 MB and keeps the kernel compiling out
+        # to 256K+; the switch point must be where strip+buffers first
+        # exceeds 16M, i.e. sk ~ 106K, NOT 128K (round 2 shipped the clamp
+        # at >131072 and the fused kernel VMEM-OOMed at exactly 131072).
+        if sk * 4 * wp > 3_400_000:
             block_q = min(block_q, 512)
             block_k = min(block_k, 512)
+        # the strip is scored exactly once per key block at the iq == ik
+        # diagonal, which requires a square block grid
+        assert block_q == block_k, (
+            f"fused window scoring requires block_q == block_k, got "
+            f"{block_q} != {block_k}"
+        )
     # Mosaic's implicit edge-block padding corrupts partial blocks on real TPU
     # (observed: NaN in the valid rows of a trailing partial q block), so pad
     # sequences to block multiples explicitly; zero-padded keys are masked via

@@ -138,6 +138,43 @@ def test_compressed_cache_swa_is_index_based(tiny_pair):
     )
 
 
+def test_fastkv_mistral_fused_pallas_matches_xla(tiny_pair):
+    """FastKV + sliding window with the FUSED Pallas scoring path (interpret
+    mode) must reproduce the XLA path bit-for-bit on keep-sets. Regression
+    test: the fused branch must mask by layout-index distance
+    (_mask_positions), not raw original positions — post-TSP layers carry
+    non-contiguous positions whose pairwise distance exceeds the window even
+    for adjacent cache entries."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from fastkv_tpu.engine import prefill as prefill_mod
+
+    cfg, _, params = tiny_pair
+    rng = np.random.default_rng(13)
+    n = 150  # 3x the window, so SWA engages pre-TSP too
+    tokens = np.zeros((1, 256), np.int32)
+    tokens[0, :n] = rng.integers(0, cfg.vocab_size, size=n)
+    tokens = jnp.asarray(tokens)
+    n_true = jnp.array([n], jnp.int32)
+    mcfg = MethodConfig(method=Method.FASTKV, eviction_mode="proportional",
+                        retain_rate=0.3, tsp_rate=0.5, tsp_idx=1, window_size=8)
+
+    def run(use_pallas):
+        ecfg = EngineConfig(prefill_buckets=(256,), max_new_tokens=8,
+                            use_pallas=use_pallas, capacity_align=8)
+        shapes = prefill_mod.plan_shapes(cfg, mcfg, ecfg, 256)
+        return prefill_mod.prefill(params, cfg, mcfg, ecfg, shapes, tokens, n_true)
+
+    ref_logits, ref_cache = run(False)
+    with pltpu.force_tpu_interpret_mode():
+        logits, cache = run(True)
+    np.testing.assert_array_equal(np.asarray(cache.pos), np.asarray(ref_cache.pos))
+    np.testing.assert_array_equal(np.asarray(cache.valid), np.asarray(ref_cache.valid))
+    np.testing.assert_allclose(
+        np.asarray(logits), np.asarray(ref_logits), atol=2e-4, rtol=2e-4
+    )
+
+
 def test_fastkv_mistral_generates(tiny_pair):
     """FastKV + TSP on the Mistral config: end-to-end generation runs and the
     first token (exact prefill attention) matches fullkv."""
