@@ -1,0 +1,236 @@
+"""Cross-implementation golden test: full-model FastKV generation.
+
+No model checkpoint exists in this container (see README "Accuracy gate"), so
+this is the strongest available proxy for the reference's eval-driven quality
+gate: an INDEPENDENT torch re-execution of the reference's FastKV semantics —
+per-layer SnapKV-style eviction (baselines/fastkv/utils.py:80-134), TSP
+hidden-state + position gather at tsp_idx (baselines/fastkv/llama_model.py:
+252-259), original-position RoPE after the gather (:368-371), decode over the
+compressed cache (monkeypatch.py:249-330) — driven at the FULL-MODEL generate
+level on a tiny HF Llama, compared token-for-token against this repo's engine
+over 64+ greedy decode steps.
+
+The torch driver below shares NO code with fastkv_tpu: plain-torch llama math
+on the HF state dict + the reference's selection semantics written from the
+paper/code description. Pooling is avgpool so top-k sets are tie-free (maxpool
+plateaus make tie order implementation-defined; see tests/test_policies.py).
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+import torch.nn.functional as F
+
+from fastkv_tpu.core.config import EngineConfig, Method, MethodConfig, ModelConfig
+from fastkv_tpu.engine.generate import Engine
+from fastkv_tpu.models.llama import params_from_hf_state_dict
+
+WINDOW, KERNEL, POOL = 8, 7, "avgpool"
+RETAIN, TSP_RATE, TSP_IDX = 0.3, 0.5, 1
+
+
+def make_hf_tiny(seed=0):
+    cfg = ModelConfig.tiny()
+    hf_cfg = transformers.LlamaConfig(
+        vocab_size=cfg.vocab_size,
+        hidden_size=cfg.hidden_size,
+        intermediate_size=cfg.intermediate_size,
+        num_hidden_layers=cfg.num_layers,
+        num_attention_heads=cfg.num_heads,
+        num_key_value_heads=cfg.num_kv_heads,
+        head_dim=cfg.head_dim,
+        max_position_embeddings=cfg.max_position_embeddings,
+        rms_norm_eps=cfg.rms_norm_eps,
+        rope_theta=cfg.rope_theta,
+        tie_word_embeddings=False,
+        attention_bias=False,
+        mlp_bias=False,
+    )
+    torch.manual_seed(seed)
+    return cfg, transformers.LlamaForCausalLM(hf_cfg).eval()
+
+
+# ---------------------------------------------------------------------------
+# independent torch FastKV driver
+# ---------------------------------------------------------------------------
+
+class TorchFastKV:
+    """Reference-semantics FastKV on a tiny HF Llama state dict (fp32)."""
+
+    def __init__(self, hf_model, cfg):
+        sd = {k: v.float() for k, v in hf_model.state_dict().items()}
+        self.cfg = cfg
+        self.eps = cfg.rms_norm_eps
+        self.H, self.KH, self.d = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+        self.G = self.H // self.KH
+        self.embed = sd["model.embed_tokens.weight"]
+        self.final_norm = sd["model.norm.weight"]
+        self.lm_head = sd["lm_head.weight"]
+        self.layers = []
+        for i in range(cfg.num_layers):
+            p = f"model.layers.{i}."
+            self.layers.append({
+                "ln1": sd[p + "input_layernorm.weight"],
+                "ln2": sd[p + "post_attention_layernorm.weight"],
+                "wq": sd[p + "self_attn.q_proj.weight"],
+                "wk": sd[p + "self_attn.k_proj.weight"],
+                "wv": sd[p + "self_attn.v_proj.weight"],
+                "wo": sd[p + "self_attn.o_proj.weight"],
+                "wg": sd[p + "mlp.gate_proj.weight"],
+                "wu": sd[p + "mlp.up_proj.weight"],
+                "wd": sd[p + "mlp.down_proj.weight"],
+            })
+        inv = 1.0 / (cfg.rope_theta ** (torch.arange(0, self.d, 2).float() / self.d))
+        self.inv_freq = inv
+
+    def _rms(self, x, w):
+        v = x.pow(2).mean(-1, keepdim=True)
+        return x * torch.rsqrt(v + self.eps) * w
+
+    def _rope(self, x, pos):
+        """x [1, h, s, d], pos [s] — HF rotate_half convention."""
+        freqs = torch.outer(pos.float(), self.inv_freq)  # [s, d/2]
+        emb = torch.cat([freqs, freqs], dim=-1)
+        cos, sin = emb.cos()[None, None], emb.sin()[None, None]
+        half = x.shape[-1] // 2
+        rot = torch.cat([-x[..., half:], x[..., :half]], dim=-1)
+        return x * cos + rot * sin
+
+    def _proj(self, lp, name, x, heads):
+        y = x @ lp[name].T  # HF Linear stores [out, in]
+        return y.view(1, -1, heads, self.d).transpose(1, 2)  # [1, h, s, d]
+
+    def _mlp(self, lp, x):
+        return (F.silu(x @ lp["wg"].T) * (x @ lp["wu"].T)) @ lp["wd"].T
+
+    def _select(self, q, k, n, cap, tsp_len=None):
+        """Reference update_kv: last-W query rows vs all keys, full-row fp32
+        softmax, column-sum, 1-D pool, GQA group-sum per kv head, top-k
+        (fastkv/utils.py:80-134). Returns (keep_idx [KH, cap] incl. window,
+        tsp_idx sorted or None)."""
+        k_rep = torch.repeat_interleave(k, self.G, dim=1)
+        att = q[:, :, -WINDOW:] @ k_rep.transpose(2, 3) / math.sqrt(self.d)
+        corner = torch.triu(
+            torch.full((WINDOW, WINDOW), torch.finfo(att.dtype).min), diagonal=1
+        )
+        att[:, :, :, -WINDOW:] += corner[None, None]
+        probs = F.softmax(att, dim=-1, dtype=torch.float32)
+        score = probs[:, :, :, :-WINDOW].sum(dim=-2)  # [1, H, n-W]
+        pooled = F.avg_pool1d(score, KERNEL, padding=KERNEL // 2, stride=1)
+        per_kv = pooled.view(1, self.KH, self.G, n - WINDOW).sum(dim=2)  # [1,KH,n-W]
+        keep = per_kv.topk(cap - WINDOW, dim=-1).indices[0]  # [KH, cap-W]
+        win = torch.arange(n - WINDOW, n)
+        keep = torch.cat([keep, win[None].expand(self.KH, -1)], dim=-1)
+        tsp = None
+        if tsp_len is not None:
+            summed = per_kv.sum(dim=1)  # [1, n-W] — sum over kv heads
+            tsp = summed.topk(tsp_len - WINDOW, dim=-1).indices
+            tsp = torch.sort(torch.cat([tsp, win[None]], dim=-1), dim=-1).values[0]
+        return keep, tsp
+
+    @torch.no_grad()
+    def generate(self, ids, max_new):
+        n0 = len(ids)
+        h = self.embed[torch.tensor(ids)][None]  # [1, n, D]
+        pos = torch.arange(n0)
+        cache = []  # per layer: dict(k [1,KH,c,d], v)
+        causal = None
+        for li, lp in enumerate(self.layers):
+            n = h.shape[1]
+            hn = self._rms(h, lp["ln1"])
+            q = self._proj(lp, "wq", hn, self.H)
+            k = self._proj(lp, "wk", hn, self.KH)
+            v = self._proj(lp, "wv", hn, self.KH)
+            q, k = self._rope(q, pos), self._rope(k, pos)
+            # full causal attention for the prefill forward
+            k_rep = torch.repeat_interleave(k, self.G, dim=1)
+            v_rep = torch.repeat_interleave(v, self.G, dim=1)
+            att = q @ k_rep.transpose(2, 3) / math.sqrt(self.d)
+            mask = torch.triu(torch.full((n, n), torch.finfo(att.dtype).min), 1)
+            att = F.softmax(att + mask[None, None], dim=-1, dtype=torch.float32)
+            o = (att @ v_rep).transpose(1, 2).reshape(1, n, -1)
+            h = h + o @ lp["wo"].T
+            h = h + self._mlp(lp, self._rms(h, lp["ln2"]))
+
+            # compression (budgets mirror compress_fastkv, fastkv/utils.py:43-46)
+            if li <= TSP_IDX:
+                cap = int(n * RETAIN)
+            else:
+                cap = int(n * RETAIN / TSP_RATE)
+            want_tsp = li == TSP_IDX
+            tsp_len = int(n * TSP_RATE) if want_tsp else None
+            keep, tsp = self._select(q, k, n, cap, tsp_len)
+            idx = keep[None, :, :, None].expand(1, self.KH, keep.shape[1], self.d)
+            cache.append({
+                "k": torch.gather(k, 2, idx).clone(),
+                "v": torch.gather(v, 2, idx).clone(),
+            })
+            if want_tsp:  # gather AFTER the tsp layer completes (llama_model.py:252-259)
+                h = h[:, tsp, :]
+                pos = pos[tsp]
+
+        logits = self._rms(h[:, -1], self.final_norm) @ self.lm_head.T
+        out = [int(logits[0].argmax())]
+        for t in range(max_new - 1):
+            tok = torch.tensor([out[-1]])
+            p = torch.tensor([n0 + t])
+            h = self.embed[tok][None]
+            for li, lp in enumerate(self.layers):
+                hn = self._rms(h, lp["ln1"])
+                q = self._proj(lp, "wq", hn, self.H)
+                k = self._proj(lp, "wk", hn, self.KH)
+                v = self._proj(lp, "wv", hn, self.KH)
+                q, k = self._rope(q, p), self._rope(k, p)
+                c = cache[li]
+                c["k"] = torch.cat([c["k"], k], dim=2)
+                c["v"] = torch.cat([c["v"], v], dim=2)
+                k_rep = torch.repeat_interleave(c["k"], self.G, dim=1)
+                v_rep = torch.repeat_interleave(c["v"], self.G, dim=1)
+                att = F.softmax(
+                    q @ k_rep.transpose(2, 3) / math.sqrt(self.d),
+                    dim=-1, dtype=torch.float32,
+                )
+                o = (att @ v_rep).transpose(1, 2).reshape(1, 1, -1)
+                h = h + o @ lp["wo"].T
+                h = h + self._mlp(lp, self._rms(h, lp["ln2"]))
+            logits = self._rms(h[:, -1], self.final_norm) @ self.lm_head.T
+            out.append(int(logits[0].argmax()))
+        return out
+
+
+@pytest.fixture(scope="module")
+def golden_pair():
+    cfg, hf = make_hf_tiny()
+    params = params_from_hf_state_dict(cfg, hf.state_dict(), dtype="float32")
+    return cfg, hf, params
+
+
+def _our_fastkv_engine(cfg, params, bucket):
+    mcfg = MethodConfig(
+        method=Method.FASTKV, eviction_mode="proportional",
+        retain_rate=RETAIN, tsp_rate=TSP_RATE, tsp_idx=TSP_IDX,
+        window_size=WINDOW, kernel_size=KERNEL, pooling=POOL,
+    )
+    ecfg = EngineConfig(prefill_buckets=(bucket,), max_new_tokens=80,
+                        use_pallas=False, capacity_align=8)
+    return Engine(params, cfg, mcfg, ecfg)
+
+
+@pytest.mark.parametrize("n,bucket,seed", [(300, 512, 7), (120, 128, 11)])
+def test_fastkv_generate_matches_torch_reference(golden_pair, n, bucket, seed):
+    """>= 64 greedy decode steps, token-for-token vs the torch driver."""
+    cfg, hf, params = golden_pair
+    rng = np.random.default_rng(seed)
+    prompt = rng.integers(0, cfg.vocab_size, size=n).tolist()
+    golden = TorchFastKV(hf, cfg).generate(prompt, 64)
+    ours = _our_fastkv_engine(cfg, params, bucket).generate(
+        [prompt], max_new_tokens=64
+    )[0]
+    assert ours == golden, (
+        f"diverged at step {next(i for i, (a, b) in enumerate(zip(ours, golden)) if a != b)}: "
+        f"ours={ours[:8]}... golden={golden[:8]}..."
+    )
