@@ -9,11 +9,12 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where value is
 the measured decode speedup and vs_baseline normalizes by the reference's 2.87x.
 Details go to stderr.
 
-Context is chosen by a DESCENDING OOM-FALLBACK LADDER (default
-229376 -> 163840 -> 131072): each rung runs both methods; a
-RESOURCE_EXHAUSTED on either drops to the next rung, so one OOM never
-costs the whole round its number (round 2 failed exactly that way).
-The JSON line reports the largest rung that completed.
+Context is chosen by a DESCENDING FALLBACK LADDER (default
+229376 -> 163840 -> 131072), one SUBPROCESS per rung: any failure of a
+rung — RESOURCE_EXHAUSTED, scoped-VMEM OOM, a TPU worker-process crash,
+or a hang — drops to the next rung, so one failure never costs the
+whole round its number (round 2 failed exactly that way). The JSON
+line reports the largest rung that completed.
 
 Env knobs: FASTKV_BENCH_CTX (pins a single context, ladder rungs below it
 kept as fallbacks), FASTKV_BENCH_GEN (default 128), FASTKV_BENCH_MODEL
@@ -37,14 +38,6 @@ import numpy as np
 
 REF_DECODE_SPEEDUP = 2.87  # reference README.md:16
 DEFAULT_LADDER = (229376, 163840, 131072)
-
-
-def is_oom(e: BaseException) -> bool:
-    s = str(e).lower()
-    # HBM OOM surfaces as RESOURCE_EXHAUSTED; compile-time scoped-VMEM OOM as
-    # an Internal "Ran out of memory in memory space vmem" — both shrink away
-    # with a smaller context rung
-    return "resource_exhausted" in s or "resource exhausted" in s or "ran out of memory" in s
 
 
 def log(*a):
@@ -142,36 +135,30 @@ def bench_method(method_name, cfg, params, ctx, genlen, ecfg_kw, prefill_only=Fa
     }
 
 
-def main():
+def run_rung(ctx: int) -> None:
+    """Run both methods at one context length and print the JSON line.
+
+    Executed in a SUBPROCESS per ladder rung (see main): a hard OOM on the
+    tunneled TPU can kill the worker process outright (observed UNAVAILABLE
+    "TPU worker process crashed", not a catchable RESOURCE_EXHAUSTED), which
+    takes every device buffer with it — only process isolation survives all
+    failure flavors.
+    """
     cpu_smoke = os.environ.get("FASTKV_BENCH_CPU") == "1"
     if cpu_smoke:
         jax.config.update("jax_platforms", "cpu")
 
     from fastkv_tpu.core.config import MODEL_PRESETS
-    from fastkv_tpu.models.llama import init_params
 
     if cpu_smoke:
         from fastkv_tpu.core.config import ModelConfig
 
         cfg = ModelConfig.tiny(num_layers=4)
-        ladder, genlen = (512,), 16
+        genlen = 16
         ecfg_kw = dict(use_pallas=False, capacity_align=8)
     else:
         name = os.environ.get("FASTKV_BENCH_MODEL", "llama-3.2-1b")
         cfg = MODEL_PRESETS[name](dtype="bfloat16")
-        # Preferred ctx 224K: at 128K the 1B model's weights dominate decode
-        # bytes/token and cap the decode-speedup ceiling at ~2.3x regardless of
-        # implementation (see ROOFLINE.md); 224K raises the fullkv cache:weights
-        # ratio so the ceiling is near the reference's 2.87x. But 224K is
-        # memory-tight on a 16 GB v5e (round 2's single-point run OOMed), hence
-        # the descending ladder: each rung is attempted for BOTH methods and an
-        # OOM drops one rung.
-        env_ctx = os.environ.get("FASTKV_BENCH_CTX")
-        if env_ctx:
-            c = int(env_ctx)
-            ladder = (c,) + tuple(x for x in DEFAULT_LADDER if x < c)
-        else:
-            ladder = DEFAULT_LADDER
         genlen = int(os.environ.get("FASTKV_BENCH_GEN", "128"))
         ecfg_kw = dict(use_pallas=os.environ.get("FASTKV_BENCH_PALLAS", "1") == "1")
         dp = os.environ.get("FASTKV_BENCH_DECODE_PALLAS")
@@ -179,7 +166,7 @@ def main():
             ecfg_kw["decode_use_pallas"] = dp == "1"
 
     dev = jax.devices()[0]
-    log(f"device: {dev.device_kind}, model: {cfg.name}, ladder={ladder}, genlen={genlen}")
+    log(f"device: {dev.device_kind}, model: {cfg.name}, ctx={ctx}, genlen={genlen}")
     from fastkv_tpu.models.llama import init_params_on_device
     from fastkv_tpu.utils.timing import force, warmup_device
 
@@ -204,22 +191,8 @@ def main():
     if os.environ.get("FASTKV_BENCH_KV", "bf16") == "int8" and not cpu_smoke:
         ecfg_kw["kv_int8"] = True
 
-    full = fast = ctx = None
-    for rung in ladder:
-        try:
-            full = bench_method("fullkv", cfg, params, rung, genlen, ecfg_kw)
-            fast = bench_method("fastkv", cfg, params, rung, genlen, ecfg_kw)
-            ctx = rung
-            break
-        except Exception as e:  # noqa: BLE001 — OOM type varies by backend
-            if not is_oom(e):
-                raise
-            log(f"ctx={rung}: RESOURCE_EXHAUSTED — dropping one ladder rung")
-            full = fast = None
-            gc.collect()
-            jax.clear_caches()
-    if full is None or fast is None:
-        raise RuntimeError(f"every ladder rung OOMed: {ladder}")
+    full = bench_method("fullkv", cfg, params, ctx, genlen, ecfg_kw)
+    fast = bench_method("fastkv", cfg, params, ctx, genlen, ecfg_kw)
 
     speedup = full["decode_s"] / fast["decode_s"]
     prefill_ratio = full["prefill_s"] / fast["prefill_s"]
@@ -294,8 +267,66 @@ def main():
                 "unit": "x",
                 "vs_baseline": round(speedup / REF_DECODE_SPEEDUP, 3),
             }
-        )
+        ),
+        flush=True,
     )
+
+
+def main():
+    """Ladder orchestrator: one subprocess per context rung, largest first.
+
+    Preferred ctx 224K: at 128K the 1B model's weights dominate decode
+    bytes/token and cap the decode-speedup ceiling (ROOFLINE.md); 224K raises
+    the fullkv cache:weights ratio so the ceiling clears the reference's
+    2.87x. 224K is memory-tight on a 16 GB v5e (round 2 OOMed there; round 3
+    observed the OOM kill the TPU worker process entirely), hence subprocess
+    isolation per rung: any child failure — RESOURCE_EXHAUSTED, VMEM OOM,
+    worker crash, hang — drops one rung, and the JSON line comes from the
+    largest rung that completed.
+    """
+    if len(sys.argv) > 2 and sys.argv[1] == "--rung":
+        run_rung(int(sys.argv[2]))
+        return
+
+    import subprocess
+
+    if os.environ.get("FASTKV_BENCH_CPU") == "1":
+        ladder = (512,)
+    else:
+        env_ctx = os.environ.get("FASTKV_BENCH_CTX")
+        if env_ctx:
+            c = int(env_ctx)
+            ladder = (c,) + tuple(x for x in DEFAULT_LADDER if x < c)
+        else:
+            ladder = DEFAULT_LADDER
+    rung_timeout = int(os.environ.get("FASTKV_BENCH_RUNG_TIMEOUT", "1800"))
+
+    for rung in ladder:
+        log(f"=== ladder rung ctx={rung} (subprocess, timeout {rung_timeout}s) ===")
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--rung", str(rung)],
+                stdout=subprocess.PIPE,
+                timeout=rung_timeout,
+            )
+        except subprocess.TimeoutExpired:
+            log(f"ctx={rung}: rung timed out — dropping one ladder rung")
+            continue
+        result = None
+        for line in r.stdout.decode().splitlines():
+            line = line.strip()
+            if line.startswith("{"):
+                try:
+                    d = json.loads(line)
+                    if "metric" in d:
+                        result = line
+                except json.JSONDecodeError:
+                    pass
+        if r.returncode == 0 and result:
+            print(result, flush=True)
+            return
+        log(f"ctx={rung}: rung failed (rc={r.returncode}) — dropping one ladder rung")
+    raise RuntimeError(f"every ladder rung failed: {ladder}")
 
 
 if __name__ == "__main__":

@@ -130,9 +130,21 @@ class Scheduler:
         return req.req_id
 
     def run(self) -> List[Request]:
-        """Drain the queue; returns finished requests (with metrics)."""
+        """Drain the queue; returns finished requests (with metrics).
+
+        Admission is INTERLEAVED with decode: while any request is running, at
+        most ONE queued request is prefilled per decode step, so a burst of N
+        arrivals stalls running requests' token stream by at most one prefill
+        at a time instead of N back-to-back (the max inter-token gap is one
+        prefill; tests/test_scheduler.py asserts the interleaving order and
+        the TPOT bound). Note on a single serial device total work is
+        conserved — interleaving bounds the p99 inter-token gap, it cannot
+        remove other requests' prefill time from a running request's wall
+        clock. When nothing is running, all free slots admit immediately
+        (pure-admission phase: there is nobody to stall).
+        """
         while self.queue or self.active.any():
-            self._admit()
+            self._admit(limit=1 if self.active.any() else self.max_batch)
             if self.active.any():
                 self._decode_one_step()
         out, self.finished = self.finished, []
@@ -140,10 +152,14 @@ class Scheduler:
 
     # -- internals ------------------------------------------------------------------
 
-    def _admit(self) -> None:
+    def _admit(self, limit: Optional[int] = None) -> None:
+        admitted = 0
         for slot in range(self.max_batch):
             if self.active[slot] or not self.queue:
                 continue
+            if limit is not None and admitted >= limit:
+                break
+            admitted += 1
             req = self.queue.pop(0)
             tokens = np.zeros((1, self.bucket), np.int32)
             n = min(len(req.prompt), self.bucket)
