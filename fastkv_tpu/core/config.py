@@ -355,22 +355,28 @@ class MethodConfig:
 
 @dataclasses.dataclass(frozen=True)
 class ParallelConfig:
-    """Mesh layout. Axes: data (DP/batch), model (TP heads/hidden), seq (SP).
+    """Mesh layout. Axes: data (DP/batch), model (TP heads/hidden), seq (SP),
+    pipe (PP layer stages).
 
     The reference is strictly single-GPU (scripts pin CUDA_VISIBLE_DEVICES=0,
     e.g. scripts/eval_longbench.sh:12); this subsystem is new TPU scope.
+    `pipe` is the SURVEY §2.4-sanctioned pipeline-parallel stub: a mesh axis
+    reserved for layer-stage sharding over DCN (microbatch ppermute
+    pipelining) for >=70B multi-host; stages partition the stacked [L, ...]
+    layer axis. Inference at 8B-class sizes runs pipe=1.
     """
 
     data: int = 1
     model: int = 1
     seq: int = 1
+    pipe: int = 1
     # 'ring' = blockwise ring attention over the seq axis; 'ulysses' = head/seq
     # all-to-all resharding; 'none' = no sequence parallelism.
     sp_mode: str = "none"
 
     @property
     def num_devices(self) -> int:
-        return self.data * self.model * self.seq
+        return self.data * self.model * self.seq * self.pipe
 
 
 @dataclasses.dataclass(frozen=True)

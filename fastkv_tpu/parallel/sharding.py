@@ -31,7 +31,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from fastkv_tpu.core.config import ModelConfig, ParallelConfig
 
-AXES = ("data", "model", "seq")
+AXES = ("data", "model", "seq", "pipe")
 
 
 def make_mesh(pcfg: ParallelConfig, devices=None) -> Mesh:
@@ -39,7 +39,9 @@ def make_mesh(pcfg: ParallelConfig, devices=None) -> Mesh:
     n = pcfg.num_devices
     if len(devices) < n:
         raise ValueError(f"need {n} devices, have {len(devices)}")
-    arr = np.asarray(devices[:n]).reshape(pcfg.data, pcfg.model, pcfg.seq)
+    arr = np.asarray(devices[:n]).reshape(
+        pcfg.data, pcfg.model, pcfg.seq, pcfg.pipe
+    )
     return Mesh(arr, AXES)
 
 
@@ -75,10 +77,24 @@ def lm_head_pspec() -> P:
     return P(None, "model")
 
 
-def full_param_pspecs(cfg: ModelConfig, tie: Optional[bool] = None) -> Dict[str, Any]:
+def full_param_pspecs(
+    cfg: ModelConfig, tie: Optional[bool] = None, quantized: bool = False
+) -> Dict[str, Any]:
+    """With quantized=True, include the int8 `<name>_scale` leaves
+    (core.quant): per-output-channel scales shard like the weight's output
+    axis — column-parallel scales on 'model', row-parallel replicated."""
     specs = param_pspecs(cfg)
+    if quantized:
+        lay = specs["layers"]
+        for name in ("wq", "wk", "wv", "w_gate", "w_up"):
+            lay[name + "_scale"] = P(None, None, "model")
+        for name in ("wo", "w_down"):
+            lay[name + "_scale"] = P()
+        specs["embed_scale"] = P()
     if not (cfg.tie_word_embeddings if tie is None else tie):
         specs["lm_head"] = lm_head_pspec()
+        if quantized:
+            specs["lm_head_scale"] = P(None, "model")
     return specs
 
 
@@ -107,8 +123,14 @@ def logits_pspec() -> P:
 
 
 def shard_params(params: Dict[str, Any], mesh: Mesh, cfg: ModelConfig) -> Dict[str, Any]:
-    """device_put the params pytree onto the mesh per the TP rules."""
-    specs = full_param_pspecs(cfg)
+    """device_put the params pytree onto the mesh per the TP rules.
+
+    Detects int8-quantized params (core.quant adds `_scale` siblings) and
+    shards the scale planes consistently with their weights."""
+    quantized = any(k.endswith("_scale") for k in params.get("layers", {}))
+    specs = full_param_pspecs(
+        cfg, tie="lm_head" not in params, quantized=quantized
+    )
     return jax.tree_util.tree_map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
         params,

