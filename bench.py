@@ -10,7 +10,7 @@ the measured decode speedup and vs_baseline normalizes by the reference's 2.87x.
 Details go to stderr.
 
 Context is chosen by a DESCENDING FALLBACK LADDER (default
-229376 -> 163840 -> 131072), one SUBPROCESS per rung: any failure of a
+229376 -> 196608 -> 163840 -> 131072), one SUBPROCESS per rung: any failure of a
 rung — RESOURCE_EXHAUSTED, scoped-VMEM OOM, a TPU worker-process crash,
 or a hang — drops to the next rung, so one failure never costs the
 whole round its number (round 2 failed exactly that way). The JSON
@@ -37,7 +37,7 @@ import jax.numpy as jnp
 import numpy as np
 
 REF_DECODE_SPEEDUP = 2.87  # reference README.md:16
-DEFAULT_LADDER = (229376, 163840, 131072)
+DEFAULT_LADDER = (229376, 196608, 163840, 131072)
 
 
 def log(*a):

@@ -402,15 +402,26 @@ class EngineConfig:
     decode_block: int = 256  # decode-cache growth granularity
     # Fuse the SnapKV/TSP observation-window scoring into the Pallas flash
     # prefill kernel (keys stream through VMEM once for attention AND scoring).
-    # False falls back to the separate O(W*s) XLA scoring pass even when
-    # use_pallas is set — kept as a toggle so bench.py can A/B the fusion.
-    fuse_window_scores: bool = True
+    # Default OFF after measurement (v5e, llama-3.2-1b, 3-run means; see
+    # ROOFLINE.md): the fused kernel must run its query-block grid axis
+    # sequentially (the score strip accumulates across q rows), which costs
+    # more than the O(K-bytes) HBM re-read it saves on a compute-bound
+    # prefill — fused/unfused prefill = 0.962x @8K, 0.975x @32K, 0.977x @64K,
+    # 0.974x @96K; beyond ~106K the strip no longer fits scoped VMEM at full
+    # attention blocks at all (flash_prefill.fusion_vmem_ok). The kernel stays
+    # available opt-in and parity-tested (tests/test_flash_kernel.py).
+    fuse_window_scores: bool = False
     # Store the KV cache as int8 with per-(head, slot) scales (core.quant):
     # halves decode cache bytes/token and prefill cache residency. Scales fold
     # into the attention math (ops.attention.decode_attention), so there is no
     # dequantized cache copy. Applies to the standard KVCache path; the
     # PyramidInfer engine manages its own buffers and ignores this flag.
     kv_int8: bool = False
+    # Run the jitted prefill/generate programs under checkify float+index
+    # instrumentation (utils.guards): the first NaN/Inf-producing op or OOB
+    # index raises instead of silently propagating. Debug-only (adds
+    # tracing/runtime cost).
+    debug_checks: bool = False
     # Sequence-chunked MLP during prefill: caps the [s, intermediate]
     # activation footprint for very long contexts. 0 = never chunk;
     # None = auto (chunk at 32K when the bucket is >= 128K).

@@ -43,6 +43,15 @@ class Engine:
 
     # -- compiled-program factories -------------------------------------------------
 
+    def _jit(self, fn, **kw):
+        """jax.jit, or checkify-instrumented jit under EngineConfig.debug_checks
+        (NaN/Inf/OOB raise instead of propagating — utils.guards)."""
+        if self.ecfg.debug_checks:
+            from fastkv_tpu.utils.guards import checked_jit
+
+            return checked_jit(fn, **kw)
+        return jax.jit(fn, **kw)
+
     def shapes_for(self, bucket: int, max_new: int) -> prefill_mod.PrefillShapes:
         ecfg = dataclasses.replace(self.ecfg, max_new_tokens=max_new)
         return prefill_mod.plan_shapes(self.cfg, self.mcfg, ecfg, bucket)
@@ -58,7 +67,7 @@ class Engine:
                     pcfg=self.pcfg, mesh=self.mesh,
                 )
 
-            self._prefill_cache[key] = jax.jit(run)
+            self._prefill_cache[key] = self._jit(run)
         return self._prefill_cache[key]
 
     def generate_fn(self, bucket: int, max_new: int, num_eos: int, min_new: int):
@@ -81,7 +90,7 @@ class Engine:
 
             # the prefill cache is consumed by generation — donate it so decode
             # never holds two copies (at 128K+ fullkv that is multiple GB)
-            self._gen_cache[key] = jax.jit(run, donate_argnums=(2,))
+            self._gen_cache[key] = self._jit(run, donate_argnums=(2,))
         return self._gen_cache[key]
 
     # -- user API --------------------------------------------------------------------
