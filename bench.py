@@ -10,7 +10,7 @@ the measured decode speedup and vs_baseline normalizes by the reference's 2.87x.
 Details go to stderr.
 
 Context is chosen by a DESCENDING FALLBACK LADDER (default
-229376 -> 196608 -> 163840 -> 131072), one SUBPROCESS per rung: any failure of a
+196608 -> 163840 -> 131072), one SUBPROCESS per rung: any failure of a
 rung — RESOURCE_EXHAUSTED, scoped-VMEM OOM, a TPU worker-process crash,
 or a hang — drops to the next rung, so one failure never costs the
 whole round its number (round 2 failed exactly that way). The JSON
@@ -37,7 +37,12 @@ import jax.numpy as jnp
 import numpy as np
 
 REF_DECODE_SPEEDUP = 2.87  # reference README.md:16
-DEFAULT_LADDER = (229376, 196608, 163840, 131072)
+# 229376 is deliberately NOT in the default ladder: its ceiling is higher
+# (4.46x, ROOFLINE.md) but it reproducibly crashes the v5e TPU worker process
+# (observed rounds 2 and 3), and the restarted worker then costs the next rung
+# an ~19-minute device warmup. 196608 completes reliably and already clears the
+# reference bar (measured 3.43x). Pin FASTKV_BENCH_CTX=229376 to attempt it.
+DEFAULT_LADDER = (196608, 163840, 131072)
 
 
 def log(*a):

@@ -397,7 +397,7 @@ class EngineConfig:
     # roofline at 128K ctx on v5e (~800 GB/s effective; bench.py end-to-end
     # confirms), while the Pallas decode kernel regressed end-to-end decode
     # (fullkv 102 -> 20 tok/s at 128K). The kernel remains available opt-in
-    # for experimentation (ops/decode_attn.py).
+    # for experimentation (ops/experimental/decode_attn.py).
     decode_use_pallas: Optional[bool] = None
     decode_block: int = 256  # decode-cache growth granularity
     # Fuse the SnapKV/TSP observation-window scoring into the Pallas flash

@@ -114,7 +114,7 @@ def decode_step(
             total = rank[..., -1:]
             attn_valid = attn_valid & (rank > total - cfg.sliding_window)
         if use_pallas and not quantized:  # Pallas decode kernel is bf16-only
-            from fastkv_tpu.ops import decode_attn
+            from fastkv_tpu.ops.experimental import decode_attn
 
             attn = decode_attn.decode_attention(
                 q, k_all[l], v_all[l], attn_valid,

@@ -1,7 +1,7 @@
 """Pure-XLA attention ops (reference path) + score computations for eviction.
 
 These are the correctness-reference implementations; `fastkv_tpu.ops.flash_prefill`
-and `fastkv_tpu.ops.decode_attn` provide the Pallas-accelerated equivalents and are
+and `fastkv_tpu.ops.experimental.decode_attn` provide the Pallas-accelerated equivalents and are
 tested against these. Replaces the reference's external flash-attn CUDA kernels
 (reference: baselines/fastkv/llama_model.py:8,79-81) and the separate
 observation-window QK^T pass (reference: baselines/fastkv/utils.py:94-104).
@@ -291,7 +291,7 @@ def decode_attention(
     q: [b, H, 1, d]; k_cache/v_cache: [b, CH, C, d]; valid: [b, C] or [b, CH, C].
     CH may be num_kv_heads (GQA grouping) or num_heads (per-head caches, the
     reference SnapKV/H2O layout). Causality is implied: every valid cache entry
-    precedes the query. Pallas-accelerated variant: fastkv_tpu.ops.decode_attn.
+    precedes the query. Pallas variant (experimental, measured slower): fastkv_tpu.ops.experimental.decode_attn.
 
     int8 cache (k_scale/v_scale [b, CH, C] fp32, core.quant.quantize_kv): the
     per-slot scales FOLD into the math — K scales multiply logit columns

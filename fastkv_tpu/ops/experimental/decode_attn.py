@@ -5,15 +5,32 @@ TPU-native replacement for the reference's single-token flash decode call
 branch; benchmark/e2e.py:172-180 times exactly this loop). Correctness
 reference: fastkv_tpu.ops.attention.decode_attention (XLA path).
 
-STATUS: correct but OPT-IN (EngineConfig.decode_use_pallas=True). Measured
-end-to-end on v5e at 128K ctx this kernel REGRESSES decode vs the XLA path
-(fullkv 102 -> 20 tok/s; fastkv 224 -> 175 tok/s): XLA's fused decode
-attention already runs at the HBM roofline (~800 GB/s effective at 128K —
-the [b, H, C] logits tensor it materializes is 64x smaller than K/V at
-GQA 4:1 and fuses away), so there is no bandwidth left to win, and this
-kernel's per-(kv-head, block) grid serialization loses pipelining that XLA
-gets for free. Kept for small-cache experimentation and as the starting
-point for a future batched/paged decode where XLA fusion breaks down.
+STATUS: EXPERIMENTAL (correct, parity-tested, but measured slower than XLA —
+shelved here so the default path is honestly XLA). Opt in via
+EngineConfig.decode_use_pallas=True.
+
+Measurements (v5e via axon tunnel):
+  * End-to-end (bench.py, 128K ctx, llama-3.2-1b): fullkv 102 -> 20 tok/s,
+    fastkv 224 -> 175 tok/s — a hard regression.
+  * Kernel-level A/B (round 3; single decode-attention call, b=1 H=32 ch=8
+    d=64 bf16, 10-iter means; the ~2.6 ms floor is tunnel dispatch):
+
+      | C      | XLA     | Pallas blk=4096 | Pallas blk=8192 |
+      |--------|---------|-----------------|-----------------|
+      | 26624  | 2836 us | 2615 us         | 2889 us         |
+      | 131072 | 2637 us | 4502 us         | 4287 us         |
+
+    At 131072 the XLA call is dispatch-bound (~0.4 ms of real work inside a
+    2.6 ms call) while the Pallas call adds ~1.7-1.9 ms of kernel time —
+    ~4x slower in-kernel. Block-size tuning (4096 vs 8192) does not close it.
+
+Why XLA wins here: its fused decode attention already runs at the HBM
+roofline (~700 GB/s effective at 128K end-to-end — the [b, H, C] logits
+tensor it materializes is 64x smaller than K/V at GQA 4:1 and fuses away),
+so there is no bandwidth left to win, and this kernel's per-(kv-head, block)
+grid serialization loses pipelining that XLA gets for free. Kept as the
+starting point for a future batched/paged decode where XLA fusion breaks
+down (per-request gather indirection defeats the fusion).
 
 Design notes (decode is HBM-bandwidth-bound, not FLOP-bound):
   * One grid step per (batch, cache-head, cache-block): K and V stream through

@@ -10,7 +10,7 @@ import pytest
 from jax.experimental.pallas import tpu as pltpu
 
 from fastkv_tpu.ops import attention as att
-from fastkv_tpu.ops.decode_attn import decode_attention as pallas_decode
+from fastkv_tpu.ops.experimental.decode_attn import decode_attention as pallas_decode
 
 
 def run_case(b, h, ch, C, d, valid_mask, q_pos=None, k_pos=None,
