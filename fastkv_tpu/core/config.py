@@ -360,10 +360,13 @@ class ParallelConfig:
 
     The reference is strictly single-GPU (scripts pin CUDA_VISIBLE_DEVICES=0,
     e.g. scripts/eval_longbench.sh:12); this subsystem is new TPU scope.
-    `pipe` is the SURVEY §2.4-sanctioned pipeline-parallel stub: a mesh axis
-    reserved for layer-stage sharding over DCN (microbatch ppermute
-    pipelining) for >=70B multi-host; stages partition the stacked [L, ...]
-    layer axis. Inference at 8B-class sizes runs pipe=1.
+    `pipe` > 1 enables PP layer-stage sharding: stages partition the stacked
+    [L, ...] layer axis of BOTH weights and KV cache (parallel/sharding.py
+    param_pspecs / cache_pspec), the TPU equivalent of the reference's
+    device_map="auto" layer splitting (eval/run_longbench.py:311-318) — the
+    route past the TP ceiling (model <= num_kv_heads) for >=70B multi-host.
+    Exercised by tests/test_sharding.py and the driver dryrun's PP leg.
+    Inference at 8B-class sizes runs pipe=1.
     """
 
     data: int = 1

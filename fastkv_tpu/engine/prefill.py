@@ -521,6 +521,20 @@ def prefill(
         state, cache_parts = scan_segment(fn, state, lay)
 
     cache = KVCache(*cache_parts)
+    if pcfg is not None and getattr(pcfg, "pipe", 1) > 1 and mesh is not None:
+        # PP: keep the cache stage-local (layer axis sharded over 'pipe') so
+        # a 70B-class cache never materializes on one stage; decode carries
+        # the sharding forward (parallel/sharding.py param_pspecs docstring)
+        from jax.sharding import NamedSharding
+
+        from fastkv_tpu.parallel.sharding import cache_pspec
+
+        spec = cache_pspec(quantized=cache.k_scale is not None)
+        cache = KVCache(*(
+            jax.lax.with_sharding_constraint(x, NamedSharding(mesh, s))
+            if x is not None else None
+            for x, s in zip(cache, spec)
+        ))
 
     # AdaKV-style cut-off: LM head on the single last valid token
     last_idx = jnp.maximum(state.count - 1, 0)[:, None]

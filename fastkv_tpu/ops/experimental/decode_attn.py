@@ -24,13 +24,27 @@ Measurements (v5e via axon tunnel):
     2.6 ms call) while the Pallas call adds ~1.7-1.9 ms of kernel time —
     ~4x slower in-kernel. Block-size tuning (4096 vs 8192) does not close it.
 
+  * Batched serving shapes (round 3; 32-call scanned loop inside one jit —
+    no dispatch floor — b/C as in bench.throughput's 16K ladder):
+
+      | B, C        | XLA        | Pallas blk=512 | Pallas blk=2048 |
+      |-------------|------------|----------------|-----------------|
+      | 64, 2048    | 1129 us    | 2156 us        | 1538 us         |
+      | 64, 16384   | 4325 us    | 11343 us       | 6962 us         |
+      | 8, 16384    | 1142 us    | 2058 us        | 1575 us         |
+
+    The "batched decode might favor a hand kernel" hypothesis is dead too:
+    XLA wins 1.4-2.6x at every batched shape tried. (XLA itself is far from
+    peak BW at these shapes — 238 GB/s at B=64 C=2048 — but the headroom is
+    intrinsic small-row/softmax overhead, not something this grid recovers.)
+
 Why XLA wins here: its fused decode attention already runs at the HBM
-roofline (~700 GB/s effective at 128K end-to-end — the [b, H, C] logits
-tensor it materializes is 64x smaller than K/V at GQA 4:1 and fuses away),
-so there is no bandwidth left to win, and this kernel's per-(kv-head, block)
-grid serialization loses pipelining that XLA gets for free. Kept as the
-starting point for a future batched/paged decode where XLA fusion breaks
-down (per-request gather indirection defeats the fusion).
+roofline at batch 1 (~700 GB/s effective at 128K end-to-end — the [b, H, C]
+logits tensor it materializes is 64x smaller than K/V at GQA 4:1 and fuses
+away), so there is no bandwidth left to win, and this kernel's
+per-(kv-head, block) grid serialization loses pipelining that XLA gets for
+free. A future win would need a different design (flattened batch*head
+parallel grid + paged gather indirection), not tuning of this one.
 
 Design notes (decode is HBM-bandwidth-bound, not FLOP-bound):
   * One grid step per (batch, cache-head, cache-block): K and V stream through

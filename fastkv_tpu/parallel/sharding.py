@@ -50,7 +50,18 @@ def param_pspecs(cfg: ModelConfig) -> Dict[str, Any]:
 
     Megatron-style TP: column-parallel qkv/gate/up, row-parallel o/down (the
     partitioner inserts the psum after row-parallel contractions); vocab-
-    parallel embedding and LM head."""
+    parallel embedding and LM head.
+
+    PP (pipe > 1): the stacked [L, ...] layer axis additionally shards over
+    'pipe' — layer-stage sharding, the TPU equivalent of the reference's
+    device_map="auto" layer splitting (its only multi-device mode,
+    eval/run_longbench.py:311-318). Each stage holds L/pipe layers' weights
+    (and cache, cache_pspec); the SPMD partitioner moves the [b, s, D] hidden
+    state between stages at segment boundaries. Correctness is mesh-shape
+    independent (tests/test_sharding.py); with pipe=1 the axis is inert.
+    Microbatch pipelining (bubble hiding) is intentionally NOT done — at
+    inference the stage hand-off is one activation ppermute per stage, and
+    decode latency is additive in stages either way."""
     specs = {
         # Replicated: token gather from a vocab-sharded table makes XLA
         # materialize cross-shard gathers; the table is small relative to HBM
@@ -59,15 +70,15 @@ def param_pspecs(cfg: ModelConfig) -> Dict[str, Any]:
         "embed": P(),
         "final_norm": P(),
         "layers": {
-            "wq": P(None, None, "model"),
-            "wk": P(None, None, "model"),
-            "wv": P(None, None, "model"),
-            "wo": P(None, "model", None),
-            "w_gate": P(None, None, "model"),
-            "w_up": P(None, None, "model"),
-            "w_down": P(None, "model", None),
-            "ln_attn": P(),
-            "ln_mlp": P(),
+            "wq": P("pipe", None, "model"),
+            "wk": P("pipe", None, "model"),
+            "wv": P("pipe", None, "model"),
+            "wo": P("pipe", "model", None),
+            "w_gate": P("pipe", None, "model"),
+            "w_up": P("pipe", None, "model"),
+            "w_down": P("pipe", "model", None),
+            "ln_attn": P("pipe"),
+            "ln_mlp": P("pipe"),
         },
     }
     return specs
@@ -87,9 +98,9 @@ def full_param_pspecs(
     if quantized:
         lay = specs["layers"]
         for name in ("wq", "wk", "wv", "w_gate", "w_up"):
-            lay[name + "_scale"] = P(None, None, "model")
+            lay[name + "_scale"] = P("pipe", None, "model")
         for name in ("wo", "w_down"):
-            lay[name + "_scale"] = P()
+            lay[name + "_scale"] = P("pipe")
         specs["embed_scale"] = P()
     if not (cfg.tie_word_embeddings if tie is None else tie):
         specs["lm_head"] = lm_head_pspec()
@@ -98,15 +109,19 @@ def full_param_pspecs(
     return specs
 
 
-def cache_pspec() -> Any:
-    """KVCache sharding: batch on data, cache heads on model."""
+def cache_pspec(quantized: bool = False) -> Any:
+    """KVCache sharding: layer axis on pipe (stage-local cache), batch on
+    data, cache heads on model."""
     from fastkv_tpu.cache.kv_cache import KVCache
 
+    scale = P("pipe", "data", "model", None) if quantized else None
     return KVCache(
-        k=P(None, "data", "model", None, None),
-        v=P(None, "data", "model", None, None),
-        pos=P(None, "data", "model", None),
-        valid=P(None, "data", "model", None),
+        k=P("pipe", "data", "model", None, None),
+        v=P("pipe", "data", "model", None, None),
+        pos=P("pipe", "data", "model", None),
+        valid=P("pipe", "data", "model", None),
+        k_scale=scale,
+        v_scale=scale,
     )
 
 

@@ -122,3 +122,44 @@ def test_tp_quantized_params_match_single_device():
     np.testing.assert_allclose(logits, ref_logits, atol=1e-5)
     np.testing.assert_allclose(logits2, ref_logits2, atol=1e-5)
     np.testing.assert_array_equal(logits.argmax(-1), ref_logits.argmax(-1))
+
+
+def test_pp_layer_stage_sharding_matches_single_device(setup):
+    """PP (pipe=2) composed with TP+DP: the stacked layer axis of weights AND
+    cache shards over 'pipe' (the reference's device_map="auto" equivalent —
+    its only multi-device mode, eval/run_longbench.py:311-318). Prefill
+    logits, decode logits, and the compressed-cache selection must all match
+    the single-device run; the cache must STAY stage-local through prefill
+    and the decode step (no full-cache materialization on one stage — the
+    70B-loadability requirement)."""
+    cfg, mcfg, ecfg, shapes, params, tokens, n_true = setup
+    ref_logits, ref_logits2, ref_cache = run(
+        cfg, mcfg, ecfg, shapes, params, tokens, n_true
+    )
+
+    pcfg = ParallelConfig(data=2, model=2, pipe=2)
+    mesh = sh.make_mesh(pcfg)
+    params_s = sh.shard_params(params, mesh, cfg)
+    assert "pipe" in str(params_s["layers"]["wq"].sharding.spec)
+    tok_s = jax.device_put(tokens, NamedSharding(mesh, P("data", None)))
+    n_s = jax.device_put(n_true, NamedSharding(mesh, P("data")))
+    with jax.set_mesh(mesh):
+        logits, cache = jax.jit(
+            lambda p, t, n: prefill_mod.prefill(
+                p, cfg, mcfg, ecfg, shapes, t, n, pcfg=pcfg, mesh=mesh
+            )
+        )(params_s, tok_s, n_s)
+        tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        logits2, cache2 = jax.jit(
+            lambda p, c, tk, pos, slot: decode_mod.decode_step(
+                p, cfg, mcfg, c, tk, pos, slot
+            )
+        )(params_s, cache, tok, n_s, jnp.int32(shapes.prefill_capacity))
+
+    np.testing.assert_allclose(np.asarray(logits), ref_logits, atol=2e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(logits2), ref_logits2, atol=2e-4, rtol=1e-4)
+    # ref_cache is the post-decode-step cache from run(); compare like to like
+    np.testing.assert_array_equal(np.asarray(cache2.pos), np.asarray(ref_cache.pos))
+    np.testing.assert_array_equal(np.asarray(cache2.valid), np.asarray(ref_cache.valid))
+    assert cache.k.sharding.spec[0] == "pipe", cache.k.sharding.spec
+    assert cache2.k.sharding.spec[0] == "pipe", cache2.k.sharding.spec
