@@ -103,25 +103,32 @@ def main():
     ]
 
     for n in (1, 2, 4):
-        # serial: drain each replica's share back-to-back on one thread
-        fd = build(n)
-        warmup(fd, prompts[0])
-        submit_round_robin(fd, prompts)
-        t0 = time.perf_counter()
-        for r in fd.replicas:
-            if r.assigned:
-                r.drain()
-                r.assigned.clear()
-        serial = time.perf_counter() - t0
+        # Whichever mode runs first measures ~25% slower (cold allocator /
+        # page-cache state — observed to flip the comparison entirely), so
+        # run each mode twice interleaved and keep the warm (second) run.
+        def run_serial():
+            fd = build(n)
+            warmup(fd, prompts[0])
+            submit_round_robin(fd, prompts)
+            t0 = time.perf_counter()
+            for r in fd.replicas:
+                if r.assigned:
+                    r.drain()
+                    r.assigned.clear()
+            return time.perf_counter() - t0
 
-        # threaded: the real FrontDoor.run drain
-        fd = build(n)
-        warmup(fd, prompts[0])
-        submit_round_robin(fd, prompts)
-        t0 = time.perf_counter()
-        out = fd.run()
-        threaded = time.perf_counter() - t0
-        assert len(out) == len(prompts) and all(o["tokens"] for o in out)
+        def run_threaded():
+            fd = build(n)
+            warmup(fd, prompts[0])
+            submit_round_robin(fd, prompts)
+            t0 = time.perf_counter()
+            out = fd.run()
+            dt = time.perf_counter() - t0
+            assert len(out) == len(prompts) and all(o["tokens"] for o in out)
+            return dt
+
+        run_serial(); run_threaded()
+        serial, threaded = run_serial(), run_threaded()
 
         print(
             f"replicas={n}: serial {serial:.2f}s, threaded {threaded:.2f}s, "
