@@ -172,27 +172,30 @@ def run_rung(ctx: int) -> None:
 
     dev = jax.devices()[0]
     log(f"device: {dev.device_kind}, model: {cfg.name}, ctx={ctx}, genlen={genlen}")
-    from fastkv_tpu.models.llama import init_params_on_device
+    from fastkv_tpu.models.llama import (
+        init_params_int8_on_device,
+        init_params_on_device,
+    )
     from fastkv_tpu.utils.timing import force, warmup_device
 
     log(f"device warmup {warmup_device():.1f}s")
-    t0 = time.perf_counter()
-    params = init_params_on_device(cfg, seed=0)
-    force(params["final_norm"])
-    log(f"params initialised on device in {time.perf_counter()-t0:.1f}s")
-
     # int8 weight-only quantization (applied to BOTH methods, so the speedup
     # ratio stays a fair fastkv-vs-fullkv comparison): batch-1 decode streams
     # the weights every step, so int8 nearly halves the weight term of
     # bytes/token and raises the attainable speedup ceiling (ROOFLINE.md).
+    # Initialization happens DIRECTLY in int8 (layer-at-a-time transients):
+    # an 8B model's bf16 weights are 16 GB — init-then-quantize OOMs the v5e.
     quant_mode = "none" if cpu_smoke else os.environ.get("FASTKV_BENCH_QUANT", "int8")
+    t0 = time.perf_counter()
     if quant_mode == "int8":
-        from fastkv_tpu.core.quant import quantize_params_int8
-
-        t0 = time.perf_counter()
-        params = jax.jit(quantize_params_int8)(params)
-        force(params["final_norm"])
-        log(f"weights quantized to int8 in {time.perf_counter()-t0:.1f}s")
+        params = init_params_int8_on_device(cfg, seed=0)
+    else:
+        params = init_params_on_device(cfg, seed=0)
+    force(params["final_norm"])
+    log(
+        f"params initialised on device ({quant_mode}) in "
+        f"{time.perf_counter()-t0:.1f}s"
+    )
     if os.environ.get("FASTKV_BENCH_KV", "bf16") == "int8" and not cpu_smoke:
         ecfg_kw["kv_int8"] = True
 
@@ -217,8 +220,12 @@ def run_rung(ctx: int) -> None:
     ):
         try:
             ab_ctx = min(ctx, 98304)
+            # EngineConfig.fuse_window_scores defaults to False (the fusion
+            # measured as a loss, ROOFLINE.md §3) — the fused arm must opt in
+            # explicitly or this A/B times two identical unfused programs.
             fused = bench_method(
-                "fastkv", cfg, params, ab_ctx, genlen, ecfg_kw, prefill_only=True,
+                "fastkv", cfg, params, ab_ctx, genlen,
+                {**ecfg_kw, "fuse_window_scores": True}, prefill_only=True,
             )
             unfused = bench_method(
                 "fastkv", cfg, params, ab_ctx, genlen,

@@ -78,11 +78,9 @@ def stats(times):
 
 
 def peak_mem() -> Optional[int]:
-    try:
-        s = jax.local_devices()[0].memory_stats()
-        return s.get("peak_bytes_in_use", s.get("bytes_in_use"))
-    except Exception:
-        return None
+    from fastkv_tpu.utils.profiling import peak_bytes
+
+    return peak_bytes()
 
 
 def bench_prefill(args, cfg, params, mcfg, ecfg_kw, ctx: int):
@@ -220,6 +218,18 @@ def main(argv=None):
     p.add_argument("--filter_idx", type=int, default=13)
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--no_pallas", action="store_true")
+    p.add_argument(
+        "--trace", default=None, metavar="DIR",
+        help="capture a jax.profiler trace of the measured runs into DIR "
+        "(TensorBoard/Perfetto-compatible; utils.profiling.trace)",
+    )
+    p.add_argument(
+        "--h2o_no_cap", action="store_true",
+        help="lift the reference's 8192-context cap on H2O: the chunked "
+        "O(s)-memory scorer (ops.attention.h2o_scores) removes the O(n^2) "
+        "materialization that forced the cap (reference eval/run_longbench.py:"
+        "117-119). Default keeps the cap for protocol parity.",
+    )
     args = p.parse_args(argv)
     if not args.model_path:
         args.random_weights = True
@@ -238,17 +248,26 @@ def main(argv=None):
     os.makedirs(args.save_dir, exist_ok=True)
     out_txt = os.path.join(args.save_dir, f"{args.mode}_{cfg.name}_{args.method}.txt")
     results = []
-    for ctx in args.context_lengths:
-        if args.method in ("h2o",) and ctx > 8192:
-            log(f"skip ctx {ctx} for h2o (reference caps at 8192; e2e.py:377-378)")
-            continue
-        r = (bench_prefill if args.mode == "prefill" else bench_e2e)(
-            args, cfg, params, mcfg, ecfg_kw, ctx
-        )
-        results.append(r)
-        log(json.dumps(r))
-        with open(out_txt, "a") as f:
-            f.write(json.dumps({"method": args.method, **r}) + "\n")
+    import contextlib
+
+    from fastkv_tpu.utils import profiling
+
+    tracer = profiling.trace(args.trace) if args.trace else contextlib.nullcontext()
+    with tracer:
+        for ctx in args.context_lengths:
+            if args.method in ("h2o",) and ctx > 8192 and not args.h2o_no_cap:
+                log(
+                    f"skip ctx {ctx} for h2o (reference caps at 8192, "
+                    f"e2e.py:377-378; pass --h2o_no_cap to lift it)"
+                )
+                continue
+            r = (bench_prefill if args.mode == "prefill" else bench_e2e)(
+                args, cfg, params, mcfg, ecfg_kw, ctx
+            )
+            results.append(r)
+            log(json.dumps(r))
+            with open(out_txt, "a") as f:
+                f.write(json.dumps({"method": args.method, **r}) + "\n")
     print(json.dumps(results))
 
 

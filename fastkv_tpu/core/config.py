@@ -373,13 +373,18 @@ class ParallelConfig:
     model: int = 1
     seq: int = 1
     pipe: int = 1
+    # EP stub (SURVEY §2.4): the reference models are dense Llama/Mistral, so
+    # no parameter ever shards on this axis — it exists so an MoE model family
+    # can claim it without a mesh relayout. Must stay 1 for the dense models;
+    # asserted inert in tests/test_sharding.py.
+    expert: int = 1
     # 'ring' = blockwise ring attention over the seq axis; 'ulysses' = head/seq
     # all-to-all resharding; 'none' = no sequence parallelism.
     sp_mode: str = "none"
 
     @property
     def num_devices(self) -> int:
-        return self.data * self.model * self.seq * self.pipe
+        return self.data * self.model * self.seq * self.pipe * self.expert
 
 
 @dataclasses.dataclass(frozen=True)

@@ -74,7 +74,11 @@ class Scheduler:
         max_batch: int = 4,
         bucket: int = 4096,
         max_new_tokens: int = 256,
+        logger: Optional["PhaseLogger"] = None,
     ):
+        # per-request structured metrics (queue/TTFT/TPOT) as JSON lines —
+        # SURVEY §5 observability row; see utils.profiling.PhaseLogger
+        self.logger = logger
         self.params = params
         self.cfg = cfg
         self.mcfg = mcfg
@@ -210,3 +214,5 @@ class Scheduler:
         self.finished.append(req)
         self.active[slot] = False
         self.slot_req[slot] = None
+        if self.logger is not None:
+            self.logger.request_metrics(req)

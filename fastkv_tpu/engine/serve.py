@@ -185,11 +185,13 @@ class FrontDoor:
                     if rid in done:
                         t.result = done[rid]
                         del r.assigned[rid]
-                if r.alive and r.idx in results and r.assigned:
-                    # a drain round returned without completing every assigned
-                    # request: treat the replica as wedged (a live replica that
-                    # makes zero progress per round would otherwise spin this
-                    # loop forever) and let re-admission move its requests
+                if r.alive and r.idx in results and r.assigned and not done:
+                    # a drain round completed ZERO of its assigned requests:
+                    # treat the replica as wedged (a live replica making zero
+                    # progress per round would otherwise spin this loop
+                    # forever) and let re-admission move its requests. A
+                    # partial-progress round keeps the replica alive — it
+                    # drains its remainder on the next pass.
                     r.alive = False
                 if not r.alive and r.assigned:
                     # failure detected: orphaned queued/in-flight requests

@@ -79,12 +79,14 @@ def rouge_zh_score(prediction: str, ground_truth: str, **kw) -> float:
     return rouge_score(pred, gt)
 
 
-def rouge1_f(prediction: str, ground_truth: str, **kw) -> float:
-    """ROUGE-1 f-measure (needle scoring uses rouge_score package's rouge1;
-    reference: eval/run_needle_in_haystack.py:257-260)."""
+def rouge1_f(
+    prediction: str, ground_truth: str, use_stemmer: bool = False, **kw
+) -> float:
+    """ROUGE-1 f-measure (needle scoring uses rouge_score package's rouge1
+    WITH stemming; reference: eval/run_needle_in_haystack.py:21,257-260)."""
     from rouge_score import rouge_scorer
 
-    scorer = rouge_scorer.RougeScorer(["rouge1"], use_stemmer=False)
+    scorer = rouge_scorer.RougeScorer(["rouge1"], use_stemmer=use_stemmer)
     return scorer.score(ground_truth, prediction)["rouge1"].fmeasure
 
 

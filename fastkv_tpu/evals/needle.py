@@ -121,10 +121,7 @@ def score_response(response: str) -> float:
     from fastkv_tpu.evals.metrics import rouge1_f
 
     # reference uses use_stemmer=True (run_needle_in_haystack.py:21)
-    from rouge_score import rouge_scorer
-
-    scorer = rouge_scorer.RougeScorer(["rouge1"], use_stemmer=True)
-    return scorer.score(NEEDLE, response)["rouge1"].fmeasure * 10
+    return rouge1_f(response, NEEDLE, use_stemmer=True) * 10
 
 
 def run(args) -> None:

@@ -106,6 +106,66 @@ def init_params_on_device(cfg: ModelConfig, seed: int = 0) -> Params:
     return _unflatten(build(jax.random.PRNGKey(seed)))
 
 
+def init_params_int8_on_device(
+    cfg: ModelConfig, seed: int = 0, quantize_embed: bool = True
+) -> Params:
+    """Random init DIRECTLY into the int8 weight-only format, on device.
+
+    An 8B model's bf16 weights (16 GB) do not fit a 16 GB v5e, so
+    init-then-quantize OOMs before the int8 copy exists. This builds each
+    weight stack with one jitted program that generates and quantizes ONE
+    LAYER at a time (lax.map), so the bf16/f32 transient is a single layer's
+    weight (<= 235 MB for 8B w_gate), never a full stack. Output tree matches
+    core.quant.quantize_params_int8 exactly (int8 weights + `_scale` f32
+    siblings; norms f32)."""
+    from fastkv_tpu.core.quant import absmax_quantize
+
+    shapes = param_shapes(cfg)
+    key = jax.random.PRNGKey(seed)
+    flat: Dict[str, Any] = {}
+    scales: Dict[str, Any] = {}
+
+    def gen_quant(sub, shp, axis):
+        w = jax.random.normal(sub, shp, jnp.float32) * 0.02
+        return absmax_quantize(w, axis=axis)
+
+    for idx, (name, shp) in enumerate(sorted(shapes.items())):
+        sub = jax.random.fold_in(key, idx)
+        if name.endswith("norm") or "ln_" in name:
+            flat[name] = jax.jit(lambda s=shp: jnp.ones(s, jnp.float32))()
+        elif name.startswith("layers."):
+            L = shp[0]
+
+            def per_layer(k, s=shp):
+                return gen_quant(k, s[1:], axis=0)  # contraction = "in"
+
+            wi, sc = jax.jit(
+                lambda k: jax.lax.map(per_layer, jax.random.split(k, L))
+            )(sub)
+            flat[name] = wi
+            scales[name + "_scale"] = sc  # keepdims map -> [L, 1, out]
+        elif name == "lm_head":
+            wi, sc = jax.jit(lambda k: gen_quant(k, shp, 0))(sub)
+            flat[name], scales[name + "_scale"] = wi, sc
+        elif name == "embed" and quantize_embed:
+            # per-row scales (== per-output-channel of the tied LM head)
+            wi, sc = jax.jit(lambda k: gen_quant(k, shp, 1))(sub)
+            flat[name], scales[name + "_scale"] = wi, sc
+        else:
+            flat[name] = jax.jit(
+                lambda k, s=shp: (jax.random.normal(k, s, jnp.float32) * 0.02).astype(
+                    jnp.dtype(cfg.dtype)
+                )
+            )(sub)
+    params = _unflatten(flat)
+    for name, sc in scales.items():
+        if name.startswith("layers."):
+            params["layers"][name[len("layers.") :]] = sc
+        else:
+            params[name] = sc
+    return params
+
+
 def params_from_hf_state_dict(cfg: ModelConfig, sd, dtype=None) -> Params:
     """Convert a HuggingFace Llama/Mistral state dict (name -> numpy array).
 

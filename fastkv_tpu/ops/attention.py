@@ -143,33 +143,6 @@ def window_scores(
     return jnp.where(col_ok[:, None, :], scores, 0.0)
 
 
-def window_scores_chunked(
-    q: jnp.ndarray,
-    k: jnp.ndarray,
-    q_pos: jnp.ndarray,
-    k_pos: jnp.ndarray,
-    k_valid: jnp.ndarray,
-    n_true: jnp.ndarray,
-    window_size: int,
-    row_block: int = 1024,
-) -> jnp.ndarray:
-    """Memory-lean exact variant: only rows that can be in the window are computed.
-
-    Rows with position < n_true - W contribute nothing, so we slice the trailing
-    `window_pad` rows (static size) around the window. Requires right-padded
-    layouts where the window rows live in the last `window_pad` slots; callers
-    pass window_pad = window_size + (bucket padding slack). For batch-1 prefill
-    this avoids the full [b,h,s,s] probability tensor.
-    """
-    # Simple implementation: slice last `row_block` rows statically; assumes
-    # bucket padding slack < row_block - window_size, enforced by callers.
-    sq = q.shape[2]
-    rb = min(row_block, sq)
-    qs = q[:, :, sq - rb :, :]
-    qps = q_pos[:, sq - rb :]
-    return window_scores(qs, k, qps, k_pos, k_valid, n_true, window_size, False)
-
-
 def h2o_scores(
     q: jnp.ndarray,
     k: jnp.ndarray,

@@ -31,7 +31,10 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from fastkv_tpu.core.config import ModelConfig, ParallelConfig
 
-AXES = ("data", "model", "seq", "pipe")
+# 'expert' is the EP stub (SURVEY §2.4: dense Llama/Mistral — "leave a mesh
+# axis stub only"). No pspec in this module references it; at size 1 it is
+# inert (tests/test_sharding.py asserts sharded results are bit-identical).
+AXES = ("data", "model", "seq", "pipe", "expert")
 
 
 def make_mesh(pcfg: ParallelConfig, devices=None) -> Mesh:
@@ -40,7 +43,7 @@ def make_mesh(pcfg: ParallelConfig, devices=None) -> Mesh:
     if len(devices) < n:
         raise ValueError(f"need {n} devices, have {len(devices)}")
     arr = np.asarray(devices[:n]).reshape(
-        pcfg.data, pcfg.model, pcfg.seq, pcfg.pipe
+        pcfg.data, pcfg.model, pcfg.seq, pcfg.pipe, pcfg.expert
     )
     return Mesh(arr, AXES)
 
@@ -146,6 +149,12 @@ def shard_params(params: Dict[str, Any], mesh: Mesh, cfg: ModelConfig) -> Dict[s
     specs = full_param_pspecs(
         cfg, tie="lm_head" not in params, quantized=quantized
     )
+    # quantize_params_int8(quantize_embed=False) omits the embed/lm_head scale
+    # leaves even when layer scales exist — mirror the actual tree, or
+    # tree_map fails on a pytree structure mismatch.
+    for opt in ("embed_scale", "lm_head_scale"):
+        if opt in specs and opt not in params:
+            del specs[opt]
     return jax.tree_util.tree_map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
         params,

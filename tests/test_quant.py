@@ -148,3 +148,35 @@ def test_scheduler_kv_int8():
     for rid in ref:
         assert out[rid][0] == ref[rid][0]
         assert len(out[rid]) == len(ref[rid])
+
+
+def test_init_params_int8_on_device_matches_quantized_tree():
+    """The direct int8 initializer (models.llama.init_params_int8_on_device,
+    used by bench.py for models whose bf16 weights exceed HBM) must produce a
+    pytree with the same structure/shapes/dtypes as init-then-quantize, and a
+    runnable forward."""
+    from fastkv_tpu.models.llama import init_params_int8_on_device
+
+    cfg = ModelConfig.tiny(num_layers=2)
+    ref = quantize_params_int8(init_params(cfg, seed=0))
+    direct = init_params_int8_on_device(cfg, seed=0)
+    ref_s = jax.tree_util.tree_structure(ref)
+    dir_s = jax.tree_util.tree_structure(direct)
+    assert ref_s == dir_s
+    for (kp, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(ref),
+        jax.tree_util.tree_leaves_with_path(direct),
+    ):
+        assert a.shape == b.shape, kp
+        assert a.dtype == b.dtype, kp
+
+    mcfg = MethodConfig(method=Method.FASTKV, eviction_mode="proportional",
+                        retain_rate=0.25, tsp_rate=0.5, tsp_idx=0)
+    ecfg = EngineConfig(prefill_buckets=(64,), max_new_tokens=4,
+                        use_pallas=False, capacity_align=8)
+    shapes = prefill_mod.plan_shapes(cfg, mcfg, ecfg, 64)
+    tokens = jnp.ones((1, 64), jnp.int32)
+    logits, _ = jax.jit(
+        lambda p, t, n: prefill_mod.prefill(p, cfg, mcfg, ecfg, shapes, t, n)
+    )(direct, tokens, jnp.array([64], jnp.int32))
+    assert np.isfinite(np.asarray(logits)).all()

@@ -81,6 +81,46 @@ def test_tp_dp_matches_single_device(setup):
     np.testing.assert_array_equal(np.asarray(sh_cache.pos), np.asarray(ref_cache.pos))
 
 
+def test_expert_axis_stub_inert(setup):
+    """EP mesh-axis stub (SURVEY §2.4: dense Llama/Mistral — stub only): the
+    'expert' axis exists in every mesh, no pspec references it, and a mesh
+    built with expert=1 alongside real TP/DP produces bit-identical results."""
+    cfg, mcfg, ecfg, shapes, params, tokens, n_true = setup
+    pcfg = ParallelConfig(data=2, model=4, expert=1)
+    assert pcfg.num_devices == 8
+    mesh = sh.make_mesh(pcfg)
+    assert "expert" in mesh.axis_names and mesh.shape["expert"] == 1
+    # no parameter or cache pspec may claim the stub axis for a dense model
+    leaves = jax.tree_util.tree_leaves(
+        (sh.full_param_pspecs(cfg, quantized=True), sh.cache_pspec(True)),
+        is_leaf=lambda x: isinstance(x, P),
+    )
+    assert all("expert" not in tuple(s) for s in leaves)
+
+    ref_logits, _, _ = run(cfg, mcfg, ecfg, shapes, params, tokens, n_true)
+    params_s = sh.shard_params(params, mesh, cfg)
+    tok_s = jax.device_put(tokens, NamedSharding(mesh, P("data", None)))
+    n_s = jax.device_put(n_true, NamedSharding(mesh, P("data")))
+    with jax.set_mesh(mesh):
+        logits, _, _ = run(cfg, mcfg, ecfg, shapes, params_s, tok_s, n_s)
+    np.testing.assert_allclose(np.asarray(logits), ref_logits, atol=2e-4, rtol=1e-4)
+
+
+def test_shard_params_partial_quant_tree():
+    """quantize_params_int8(quantize_embed=False) omits embed/lm_head scale
+    leaves; shard_params must mirror the actual tree instead of assuming full
+    quantization (pytree structure mismatch otherwise)."""
+    from fastkv_tpu.core.quant import quantize_params_int8
+
+    cfg = ModelConfig.tiny(num_kv_heads=4, num_heads=8, hidden_size=128,
+                           intermediate_size=256)
+    qparams = quantize_params_int8(init_params(cfg, seed=0), quantize_embed=False)
+    assert "embed_scale" not in qparams
+    mesh = sh.make_mesh(ParallelConfig(data=2, model=4), jax.devices())
+    sharded = sh.shard_params(qparams, mesh, cfg)  # must not raise
+    assert any(k.endswith("_scale") for k in sharded["layers"])
+
+
 def test_graft_entry_dryrun():
     import __graft_entry__ as ge
 
