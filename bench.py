@@ -169,6 +169,12 @@ def run_rung(ctx: int) -> None:
         dp = os.environ.get("FASTKV_BENCH_DECODE_PALLAS")
         if dp is not None:
             ecfg_kw["decode_use_pallas"] = dp == "1"
+        mc = os.environ.get("FASTKV_BENCH_MLP_CHUNK")
+        if mc is not None:
+            # explicit MLP sequence-chunk (caps the [s, intermediate] transient;
+            # needed for 8B-class models whose unchunked MLP transients at 32K+
+            # don't fit next to 8 GB of weights + the fullkv cache on a 16 GB v5e)
+            ecfg_kw["mlp_chunk"] = int(mc)
 
     dev = jax.devices()[0]
     log(f"device: {dev.device_kind}, model: {cfg.name}, ctx={ctx}, genlen={genlen}")
@@ -304,6 +310,12 @@ def main():
 
     if os.environ.get("FASTKV_BENCH_CPU") == "1":
         ladder = (512,)
+    elif os.environ.get("FASTKV_BENCH_LADDER"):
+        # explicit comma-separated rung list (e.g. the 8B ladder "49152,40960,32768"
+        # — the DEFAULT_LADDER rungs assume a 1B-sized weight footprint)
+        ladder = tuple(
+            int(x) for x in os.environ["FASTKV_BENCH_LADDER"].split(",") if x
+        )
     else:
         env_ctx = os.environ.get("FASTKV_BENCH_CTX")
         if env_ctx:
