@@ -434,6 +434,14 @@ class EngineConfig:
     # activation footprint for very long contexts. 0 = never chunk;
     # None = auto (chunk at 32K when the bucket is >= 128K).
     mlp_chunk: Optional[int] = None
+    # Chunked prefill ADMISSION in the Scheduler (engine.chunked): split the
+    # admission prefill into this many tokens per chunk, interleaving one
+    # decode step per chunk, so running requests' max inter-token stall is one
+    # chunk (+ the compression finish step) instead of one full prefill.
+    # None = monolithic admission. Must divide the scheduler bucket. Only
+    # applies while other requests are decoding (idle admissions run the
+    # monolithic program, which is strictly faster end-to-end).
+    prefill_chunk: Optional[int] = None
 
     def mlp_chunk_for(self, s: int) -> int:
         if self.mlp_chunk is not None:

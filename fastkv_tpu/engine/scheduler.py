@@ -106,6 +106,21 @@ class Scheduler:
         self.queue: List[Request] = []
         self.finished: List[Request] = []
         self._next_id = 0
+        # event log (chunk/decode/finish order) — asserted by the chunked-
+        # admission interleaving test; negligible cost otherwise
+        self.events: List[tuple] = []
+
+        # chunked admission (engine.chunked): bounds running requests' max
+        # inter-token stall to one chunk + finish instead of one full prefill
+        self._chunk_progs = None
+        self._adm = None
+        if self.ecfg.prefill_chunk:
+            from fastkv_tpu.engine import chunked
+
+            if chunked.supported(mcfg):
+                self._chunk_progs = chunked.make_programs(
+                    cfg, mcfg, self.ecfg, self.shapes, self.ecfg.prefill_chunk
+                )
 
         self._prefill = jax.jit(
             lambda p, t, n: prefill_mod.prefill(
@@ -147,8 +162,14 @@ class Scheduler:
         clock. When nothing is running, all free slots admit immediately
         (pure-admission phase: there is nobody to stall).
         """
-        while self.queue or self.active.any():
-            self._admit(limit=1 if self.active.any() else self.max_batch)
+        while self.queue or self.active.any() or self._adm is not None:
+            if self._adm is not None:
+                self._advance_admission()
+            elif self.active.any() and self._chunk_progs is not None:
+                self._start_chunked_admission()
+            else:
+                # idle (nobody to stall) or no chunk programs: monolithic
+                self._admit(limit=1 if self.active.any() else self.max_batch)
             if self.active.any():
                 self._decode_one_step()
         out, self.finished = self.finished, []
@@ -171,25 +192,57 @@ class Scheduler:
             logits, cache1 = self._prefill(
                 self.params, jnp.asarray(tokens), jnp.asarray([n], jnp.int32)
             )
-            first = int(np.asarray(jnp.argmax(logits[0])))
-            req.prefill_done_at = time.perf_counter()
-            req.tokens = [first]
-            # install the request's compressed cache into its slot (covers the
-            # int8 scale planes when present — tree_map skips None fields)
-            self.cache = jax.tree_util.tree_map(
-                lambda dst, src: dst.at[:, slot].set(src[:, 0]),
-                self.cache, cache1,
-            )
-            self.tok[slot] = first
-            self.pos[slot] = n
-            self.steps[slot] = 0
-            self.budget[slot] = req.max_new_tokens
-            self.active[slot] = True
-            self.slot_req[slot] = req
-            if first in set(req.eos_ids) or req.max_new_tokens <= 1:
-                self._retire(slot)
+            self.events.append(("prefill", req.req_id))
+            self._install(slot, req, n, logits, cache1)
+
+    def _install(self, slot: int, req: Request, n: int, logits, cache1) -> None:
+        """Write a prefilled request's cache/state into its decode slot."""
+        first = int(np.asarray(jnp.argmax(logits[0])))
+        req.prefill_done_at = time.perf_counter()
+        req.tokens = [first]
+        # install the request's compressed cache into its slot (covers the
+        # int8 scale planes when present — tree_map skips None fields)
+        self.cache = jax.tree_util.tree_map(
+            lambda dst, src: dst.at[:, slot].set(src[:, 0]),
+            self.cache, cache1,
+        )
+        self.tok[slot] = first
+        self.pos[slot] = n
+        self.steps[slot] = 0
+        self.budget[slot] = req.max_new_tokens
+        self.active[slot] = True
+        self.slot_req[slot] = req
+        if first in set(req.eos_ids) or req.max_new_tokens <= 1:
+            self._retire(slot)
+
+    def _start_chunked_admission(self) -> None:
+        from fastkv_tpu.engine import chunked
+
+        if not self.queue:
+            return
+        free = [s for s in range(self.max_batch) if not self.active[s]]
+        if not free:
+            return
+        req = self.queue.pop(0)
+        self._adm = chunked.start_admission(
+            self._chunk_progs, free[0], req, req.prompt
+        )
+
+    def _advance_admission(self) -> None:
+        from fastkv_tpu.engine import chunked
+
+        adm = self._adm
+        out = chunked.advance(self._chunk_progs, self.params, adm)
+        self.events.append(("chunk", adm.req.req_id))
+        if out is None:
+            return
+        logits, cache1 = out
+        self.events.append(("finish", adm.req.req_id))
+        self._adm = None
+        self._install(adm.slot, adm.req, adm.n, logits, cache1)
 
     def _decode_one_step(self) -> None:
+        self.events.append(("decode",))
         slots = self.shapes.prefill_capacity + self.steps
         logits, self.cache = self._step(
             self.params, self.cache, jnp.asarray(self.tok), jnp.asarray(self.pos),
