@@ -89,6 +89,75 @@ def test_all_replicas_dead_raises(stack):
         fd.run(fault=fault)
 
 
+def test_dispatch_two_workers_matches_single(stack):
+    """Coordinator socket queue: two pull-workers drain the same ticket queue;
+    results match the single-scheduler ground truth (engine.dispatch)."""
+    import threading
+
+    from fastkv_tpu.engine.dispatch import Coordinator, serve_worker
+
+    prompts = stack[-1]
+    ref = reference_tokens(stack)
+    coord = Coordinator()
+    tids = [coord.submit(p, 8) for p in prompts]
+    coord.seal()
+    served = {}
+
+    def work(name):
+        served[name] = serve_worker(
+            coord.address, make_sched(stack), name=name, batch=1
+        )
+
+    ts = [threading.Thread(target=work, args=(f"w{i}",)) for i in range(2)]
+    for t in ts:
+        t.start()
+    res = coord.wait_results(timeout=120)
+    for t in ts:
+        t.join(timeout=60)
+    coord.close()
+    assert sum(served.values()) == len(prompts)
+    assert len({r["worker"] for r in res}) == 2, "both workers must serve"
+    for tid, want in zip(tids, ref):
+        assert res[tid]["tokens"] == want
+
+
+def test_dispatch_worker_death_readmits(stack):
+    """A worker that vanishes holding tickets gets them re-queued; the
+    survivor completes them with identical greedy tokens."""
+    import threading
+
+    from fastkv_tpu.engine.dispatch import Coordinator, serve_worker
+
+    prompts = stack[-1]
+    ref = reference_tokens(stack)
+    coord = Coordinator()
+    tids = [coord.submit(p, 8) for p in prompts]
+    coord.seal()
+
+    # dying worker grabs a batch and disconnects without reporting
+    t_dead = threading.Thread(
+        target=serve_worker,
+        args=(coord.address, make_sched(stack)),
+        kwargs=dict(name="dying", batch=2, max_batches=0),
+    )
+    t_dead.start()
+    t_dead.join(timeout=60)
+
+    t_ok = threading.Thread(
+        target=serve_worker,
+        args=(coord.address, make_sched(stack)),
+        kwargs=dict(name="survivor", batch=2),
+    )
+    t_ok.start()
+    res = coord.wait_results(timeout=120)
+    t_ok.join(timeout=60)
+    coord.close()
+    assert any(r["readmissions"] > 0 for r in res), "death must re-admit"
+    assert all(r["worker"] == "survivor" for r in res)
+    for tid, want in zip(tids, ref):
+        assert res[tid]["tokens"] == want
+
+
 _WORKER = textwrap.dedent(
     """
     import sys
@@ -134,6 +203,34 @@ _WORKER = textwrap.dedent(
     res = fd.run()
     assert len(res) == len(mine) and all(r["tokens"] for r in res), res
     print(f"MULTIHOST_OK p{pid} served={len(res)}", flush=True)
+
+    # cross-host dispatch: rank 0 runs the Coordinator feed; BOTH processes
+    # pull work through it (engine.dispatch) — the actual multi-host serving
+    # loop, not a by-convention partition
+    import json
+    from fastkv_tpu.engine.dispatch import Coordinator, serve_worker
+    from fastkv_tpu.engine.scheduler import Scheduler
+
+    dport = int(sys.argv[3])
+    sched = Scheduler(params, cfg, mcfg, ecfg, max_batch=1, bucket=64,
+                      max_new_tokens=4)
+    if pid == 0:
+        coord = Coordinator(port=dport)
+        tids = [coord.submit(p, 4) for p in all_prompts]
+        coord.seal()
+        served = serve_worker(coord.address, sched, name="p0", batch=1)
+        res = coord.wait_results(timeout=120)
+        coord.close()
+        workers = {r["worker"] for r in res}
+        assert workers == {"p0", "p1"}, workers
+        print("DISPATCH_RESULTS " + json.dumps(
+            [r["tokens"] for r in res]), flush=True)
+    else:
+        import time
+        time.sleep(0.5)  # let rank 0 bind
+        served = serve_worker(("127.0.0.1", dport), sched, name="p1", batch=1)
+        assert served > 0, served
+    print(f"DISPATCH_OK p{pid} served={served}", flush=True)
     """
 )
 
@@ -156,9 +253,12 @@ def test_two_process_multicontroller_smoke(tmp_path):
     env["JAX_PLATFORMS"] = "cpu"
     env.pop("PALLAS_AXON_POOL_IPS", None)
     env["PYTHONPATH"] = "/root/repo" + os.pathsep + env.get("PYTHONPATH", "")
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        dport = s.getsockname()[1]
     procs = [
         subprocess.Popen(
-            [sys.executable, str(script), str(port), str(i)],
+            [sys.executable, str(script), str(port), str(i), str(dport)],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env,
             cwd="/root/repo",
         )
@@ -176,3 +276,24 @@ def test_two_process_multicontroller_smoke(tmp_path):
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i} failed:\n{out}"
         assert f"MULTIHOST_OK p{i}" in out, out
+        assert f"DISPATCH_OK p{i}" in out, out
+
+    # cross-process dispatch token parity vs an in-process reference
+    import json
+
+    from fastkv_tpu.engine.scheduler import Scheduler as _S
+
+    line = next(l for l in outs[0].splitlines()
+                if l.startswith("DISPATCH_RESULTS "))
+    got = json.loads(line.split(" ", 1)[1])
+    cfg = ModelConfig.tiny(num_layers=1)
+    params = init_params(cfg, seed=0)
+    mcfg = MethodConfig(method=Method.FASTKV, eviction_mode="proportional",
+                        retain_rate=0.3, tsp_rate=0.5, tsp_idx=0)
+    ecfg = EngineConfig(prefill_buckets=(64,), use_pallas=False, capacity_align=8)
+    rng = np.random.default_rng(7)
+    prompts = [list(rng.integers(0, cfg.vocab_size, size=30)) for _ in range(4)]
+    sched = _S(params, cfg, mcfg, ecfg, max_batch=1, bucket=64, max_new_tokens=4)
+    ids = [sched.submit(p, 4) for p in prompts]
+    ref = {r.req_id: r.tokens for r in sched.run()}
+    assert got == [ref[i] for i in ids], (got, ref)
