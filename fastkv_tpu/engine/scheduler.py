@@ -242,13 +242,16 @@ class Scheduler:
         self._install(adm.slot, adm.req, adm.n, logits, cache1)
 
     def _decode_one_step(self) -> None:
-        self.events.append(("decode",))
         slots = self.shapes.prefill_capacity + self.steps
         logits, self.cache = self._step(
             self.params, self.cache, jnp.asarray(self.tok), jnp.asarray(self.pos),
             jnp.asarray(slots, jnp.int32),
         )
         nxt = np.asarray(jnp.argmax(logits, axis=-1)).astype(np.int32)
+        # timestamp AFTER the argmax fetch: the fetch forces step completion,
+        # so deltas between consecutive decode events are the inter-token gaps
+        # running requests actually observe (incl. interleaved admission work)
+        self.events.append(("decode", time.perf_counter()))
         for slot in range(self.max_batch):
             if not self.active[slot]:
                 continue
