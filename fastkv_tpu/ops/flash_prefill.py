@@ -127,16 +127,17 @@ def _kernel(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale  # [bq, bk]
 
-        count = count_ref[ib]
         # NOTE: a lax.cond that skips mask construction on interior blocks was
         # tried and REGRESSED (Mosaic duplicates branch buffers: -25% perf and
-        # VMEM OOM at 1024x1024 blocks); unconditional masking wins.
+        # VMEM OOM at 1024x1024 blocks); cheap unconditional masking wins.
+        # Key VALIDITY is folded into pk by the wrapper (invalid/padded key
+        # slots carry position 2^30, which the causal compare rejects), so the
+        # mask is ONE broadcast compare instead of iota+compare+and. Together
+        # with skipping the post-exp where (below) this measured -12% on
+        # end-to-end prefill at 128-160K (ROOFLINE.md §6).
         pq = pq_ref[0, 0].astype(jnp.int32)  # [bq]
         pk = pk_ref[0, 0].astype(jnp.int32)  # [bk]
-        col_idx = ik * block_k + jax.lax.broadcasted_iota(
-            jnp.int32, (block_q, block_k), 1
-        )
-        mask = (pk[None, :] <= pq[:, None]) & (col_idx < count)
+        mask = pk[None, :] <= pq[:, None]
         if sliding_window is not None:
             mask = mask & (pk[None, :] > pq[:, None] - sliding_window)
         s = jnp.where(mask, s, NEG_INF)
@@ -144,7 +145,14 @@ def _kernel(
         m_cur = jnp.max(s, axis=1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
         p = jnp.exp(s - m_new)
-        p = jnp.where(mask, p, 0.0)  # kill exp garbage on fully-masked rows
+        if not (causal_skip and sliding_window is None):
+            # exp garbage (=1.0) appears only on rows whose running max is
+            # still NEG_INF — impossible in the pure-causal layout, where every
+            # valid (and padded, pq=0) row sees key 0 in its first visited
+            # block; possible for ring 'full' chunks (all keys may be after
+            # the query) and under a sliding window (a row's visible window
+            # may start blocks later), so those paths keep the correction.
+            p = jnp.where(mask, p, 0.0)
 
         corr = jnp.exp(m_prev - m_new)  # [bq, 1]
         l_new = corr * l_scr[:, :1] + jnp.sum(p, axis=1, keepdims=True)
@@ -311,6 +319,15 @@ def flash_attention(
         k = jnp.pad(k, ((0, 0), (0, 0), (0, sk_pad - sk), (0, 0)))
         v = jnp.pad(v, ((0, 0), (0, 0), (0, sk_pad - sk), (0, 0)))
         k_positions = jnp.pad(k_positions, ((0, 0), (0, sk_pad - sk)))
+    # fold key VALIDITY into the key positions: slots at or beyond k_count
+    # (invalid tail + block padding) get position 2^30, which the kernel's
+    # causal compare (pk <= pq) rejects — the mask needs no per-block iota
+    # against count (-12% end-to-end prefill at 128-160K, ROOFLINE.md §6)
+    k_positions = jnp.where(
+        jnp.arange(sk_pad, dtype=jnp.int32)[None, :] < k_count[:, None],
+        k_positions.astype(jnp.int32),
+        jnp.int32(1 << 30),
+    )
     nq = s_pad // block_q
     nk = sk_pad // block_k
     grid = (b, h, nq, nk)
