@@ -154,10 +154,24 @@ def make_programs(
             sv = jax.lax.dynamic_update_slice(sv, v[None].astype(sv.dtype), at)
             k_all = jax.lax.dynamic_index_in_dim(sk, li, 0, keepdims=False)
             v_all = jax.lax.dynamic_index_in_dim(sv, li, 0, keepdims=False)
-            attn = att.chunked_causal_attention(
-                q, k_all, v_all, qpos, kpos, k_valid,
-                sliding_window=cfg.sliding_window, q_block=q_block,
-            )
+            if ecfg.use_pallas:
+                # rectangular flash: chunk queries vs the bucket-sized scratch,
+                # with the dynamic k_hi gate skipping key blocks beyond the
+                # causally-visible prefix (start + c) — restores triangular
+                # cost; the XLA fallback must mask the full width instead
+                from fastkv_tpu.ops import flash_prefill
+
+                kv_count = jnp.minimum(start + c, n)[None]  # [1]
+                attn = flash_prefill.flash_attention(
+                    q, k_all, v_all, qpos, kv_count,
+                    sliding_window=cfg.sliding_window,
+                    k_positions=kpos, k_count=kv_count, k_hi=kv_count,
+                )
+            else:
+                attn = att.chunked_causal_attention(
+                    q, k_all, v_all, qpos, kpos, k_valid,
+                    sliding_window=cfg.sliding_window, q_block=q_block,
+                )
             h = h + llama.attn_out_proj(lp, attn)
             h = h + llama.mlp(lp, llama.rms_norm(h, lp["ln_mlp"], cfg.rms_norm_eps))
             # capture observation-window query rows passing through this chunk

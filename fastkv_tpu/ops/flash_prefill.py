@@ -66,7 +66,9 @@ def _below_or_on_diag(iq: jnp.ndarray, bq: int, ik: jnp.ndarray, bk: int):
 
 def _kernel(
     # scalar prefetch
-    count_ref,  # [b] int32 — number of valid tokens per example
+    count_ref,  # [2, b] int32 — row 0: number of valid tokens per example;
+    #   row 1: k_hi block gate (key blocks starting at or beyond it are
+    #   skipped entirely — DMA redirected to block 0, no compute)
     # inputs
     q_ref,  # [1, 1, bq, d]
     k_ref,  # [1, 1, bk, d]
@@ -116,7 +118,7 @@ def _kernel(
     run_gate = (
         _below_or_on_diag(iq, block_q, ik, block_k)
         if causal_skip
-        else (ik >= 0)
+        else (ik * block_k < count_ref[1, ib])
     )
 
     @pl.when(run_gate)
@@ -189,7 +191,7 @@ def _kernel(
             col_idx = ik * block_k + jax.lax.broadcasted_iota(
                 jnp.int32, (window_scores, block_k), 1
             )
-            wmask = (pk[None, :] <= pw) & (col_idx < count_ref[ib]) & (pw >= 0)
+            wmask = (pk[None, :] <= pw) & (col_idx < count_ref[0, ib]) & (pw >= 0)
             sw = jnp.where(wmask, sw, NEG_INF)
             strip_scr[:, pl.ds(ik * block_k, block_k)] = sw
             wm_scr[...] = jnp.maximum(
@@ -262,6 +264,12 @@ def flash_attention(
     #   full-row softmax of the window strip, column-summed over window rows).
     window_q_pos: Optional[jnp.ndarray] = None,  # [b, W] int32 original
     #   positions of the window rows; -1 marks invalid (short-prompt) rows
+    k_hi: Optional[jnp.ndarray] = None,  # [b] int32 DYNAMIC key-block gate for
+    #   non-square (sk != s) calls: key blocks starting at or beyond k_hi are
+    #   skipped (no DMA, no compute). Used by chunked prefill, where a c-token
+    #   chunk attends a bucket-sized scratch of which only the first
+    #   start+c slots can be causally visible — restores the triangular cost
+    #   that the static causal block skip provides in the square case.
 ):
     b, h, s, d = q.shape
     kh = k.shape[1]
@@ -332,26 +340,25 @@ def flash_attention(
     nk = sk_pad // block_k
     grid = (b, h, nq, nk)
 
-    def _skip(iq, ik):
-        if not causal_skip:
-            return None
-        return _below_or_on_diag(iq, block_q, ik, block_k)
+    def _live(ib, iq, ik, count_ref):
+        """Does grid step (iq, ik) do real work? (static skip or dynamic k_hi)"""
+        if causal_skip:
+            return _below_or_on_diag(iq, block_q, ik, block_k)
+        return ik * block_k < count_ref[1, ib]
 
     def q_map(ib, ih, iq, ik, count_ref):
         return (ib, ih, iq, 0)
 
     def kv_map(ib, ih, iq, ik, count_ref):
-        if causal_skip:
-            # skipped (above-diagonal) blocks revisit block 0: no DMA traffic
-            ik = jax.lax.select(_below_or_on_diag(iq, block_q, ik, block_k), ik, 0)
+        # skipped blocks revisit block 0: no DMA traffic
+        ik = jax.lax.select(_live(ib, iq, ik, count_ref), ik, 0)
         return (ib, ih // g, ik, 0)
 
     def pq_map(ib, ih, iq, ik, count_ref):
         return (ib, 0, iq)
 
     def pk_map(ib, ih, iq, ik, count_ref):
-        if causal_skip:
-            ik = jax.lax.select(_below_or_on_diag(iq, block_q, ik, block_k), ik, 0)
+        ik = jax.lax.select(_live(ib, iq, ik, count_ref), ik, 0)
         return (ib, 0, ik)
 
     def o_map(ib, ih, iq, ik, count_ref):
@@ -433,6 +440,12 @@ def flash_attention(
     )
     # the score strip accumulates across q rows -> iq must stay sequential
     iq_sem = "arbitrary" if wp else "parallel"
+    khi_arr = (
+        jnp.full((b,), sk_pad, jnp.int32) if k_hi is None
+        else jnp.minimum(k_hi.astype(jnp.int32), sk_pad)
+    )
+    # prefetch rows: [0] key-side count (column masking), [1] k_hi block gate
+    scal = jnp.stack([k_count.astype(jnp.int32), khi_arr])
     outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -441,7 +454,7 @@ def flash_attention(
             dimension_semantics=("parallel", "parallel", iq_sem, "arbitrary"),
         ),
         cost_estimate=cost,
-    )(k_count.astype(jnp.int32), *inputs)  # kernel masks COLUMNS: key-side count
+    )(scal, *inputs)
     out = outs[0][:, :, :s, :]
     ret = [out]
     if return_aux:

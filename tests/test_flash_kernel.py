@@ -209,3 +209,38 @@ def test_ring_composition_with_pallas_aux():
         np.asarray(ref[:, :, half:])[0][:, vrows],
         atol=2e-5, rtol=2e-5,
     )
+
+
+def test_flash_rectangular_k_hi_matches_reference():
+    """Chunked-prefill shape: c chunk queries against a bucket-sized scratch,
+    with the dynamic k_hi block gate skipping key blocks beyond the visible
+    prefix. Must equal the XLA rectangular mask over the same positions."""
+    rng = np.random.default_rng(5)
+    b, h, kh, d = 1, 4, 2, 64
+    S, c, start, n = 512, 128, 256, 470  # chunk [256, 384) of a 470-token prompt
+    q = jnp.asarray(rng.standard_normal((b, h, c, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, kh, S, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, kh, S, d)), jnp.float32)
+    qpos = (start + jnp.arange(c, dtype=jnp.int32))[None]
+    kpos = jnp.arange(S, dtype=jnp.int32)[None]
+    kv_count = jnp.asarray([min(start + c, n)], jnp.int32)
+    k_valid = kpos < kv_count[:, None]
+
+    ref = att.chunked_causal_attention(
+        q, k, v, qpos, kpos, k_valid, q_block=64
+    )
+    with pltpu.force_tpu_interpret_mode():
+        out = flash_attention(
+            q, k, v, qpos, kv_count, block_q=128, block_k=128,
+            k_positions=kpos, k_count=kv_count, k_hi=kv_count,
+        )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+    # k_hi gating must not change results vs no gate (blocks it skips are
+    # fully masked anyway)
+    with pltpu.force_tpu_interpret_mode():
+        out2 = flash_attention(
+            q, k, v, qpos, kv_count, block_q=128, block_k=128,
+            k_positions=kpos, k_count=kv_count,
+        )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out2), atol=1e-6, rtol=1e-6)
