@@ -1,6 +1,6 @@
 """Feasibility demo: Llama-3.1-8B at 128K context on ONE 16 GB v5e — fastkv
 only, because fullkv CANNOT fit (the bf16 cache alone is 16.8 GB > HBM; the
-largest fullkv-feasible rung is 40960, ROOFLINE.md §8B).
+largest fullkv-feasible rung is 40960, ROOFLINE.md §8).
 
 FastKV's compressed cache is ~1.8 GB at 131072 (retain 0.1 + tsp), so the 8B
 serves the reference's canonical 128K context on a single chip. Reports TTFT
