@@ -35,15 +35,21 @@ ECFG_KW = dict(prefill_buckets=(256,), use_pallas=False, capacity_align=8)
 
 
 @pytest.mark.parametrize(
-    "method",
-    [Method.FULLKV, Method.FASTKV, Method.SNAPKV, Method.STREAMINGLLM],
+    "method,kv_int8",
+    [
+        (Method.FULLKV, False),
+        (Method.FASTKV, False),
+        (Method.FASTKV, True),  # int8 cache: finish must quantize identically
+        (Method.SNAPKV, False),
+        (Method.STREAMINGLLM, False),
+    ],
 )
-def test_chunk_pipeline_matches_monolithic_prefill(setup, method):
+def test_chunk_pipeline_matches_monolithic_prefill(setup, method, kv_int8):
     """The chunk_step/finish pipeline reproduces engine.prefill exactly:
     same logits, same cache contents (keep-sets included)."""
     cfg, params = setup
     mcfg = mk_mcfg(method)
-    ecfg = EngineConfig(**ECFG_KW)
+    ecfg = EngineConfig(kv_int8=kv_int8, **ECFG_KW)
     shapes = prefill_mod.plan_shapes(cfg, mcfg, ecfg, 256)
     rng = np.random.default_rng(3)
     n = 201  # not a chunk multiple: exercises the partial last chunk
