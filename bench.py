@@ -37,12 +37,12 @@ import jax.numpy as jnp
 import numpy as np
 
 REF_DECODE_SPEEDUP = 2.87  # reference README.md:16
-# 229376 is deliberately NOT in the default ladder: its ceiling is higher
-# (4.46x, ROOFLINE.md) but it reproducibly crashes the v5e TPU worker process
-# (observed rounds 2 and 3), and the restarted worker then costs the next rung
-# an ~19-minute device warmup. 196608 completes reliably and already clears the
-# reference bar (measured 3.43x). Pin FASTKV_BENCH_CTX=229376 to attempt it.
-DEFAULT_LADDER = (196608, 163840, 131072)
+# 229376 crashed the TPU worker in rounds 2-3 but completed cleanly in round 4
+# (measured 3.71x, 84% of its 4.43x ceiling — ROOFLINE.md §4) after the
+# round-4 kernel/transient reductions, so it leads the ladder again. The
+# subprocess-per-rung isolation makes the attempt safe: a crash drops one
+# rung and 196608 (reliable since round 3, 3.43x) still beats the bar.
+DEFAULT_LADDER = (229376, 196608, 163840, 131072)
 
 
 def log(*a):
