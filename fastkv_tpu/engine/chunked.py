@@ -140,11 +140,17 @@ def make_programs(
         w_ok = (w_src >= 0) & (w_src < c)
         w_src_c = jnp.clip(w_src, 0, c - 1)
 
-        lay = llama.slice_layers(params["layers"], 0, seg)
+        lay = params["layers"]
 
-        def body(carry, inp):
+        def body(carry, li):
             h, sk, sv, qwin = carry
-            li, lp = inp
+            # dynamic-index the full stacked params (NOT a pre-sliced scan xs:
+            # XLA materializes slices as weight-sized HLO-temp copies — see
+            # prefill.scan_segment)
+            lp = jax.tree_util.tree_map(
+                lambda x: jax.lax.dynamic_index_in_dim(x, li, 0, keepdims=False),
+                lay,
+            )
             hn = llama.rms_norm(h, lp["ln_attn"], cfg.rms_norm_eps)
             q, k, v = llama.qkv_proj(lp, cfg, hn)  # q [1,H,c,d], k/v [1,KH,c,d]
             q, k = llama.rope_qk(q, k, qpos, inv_freq)
@@ -184,7 +190,7 @@ def make_programs(
             return (h, sk, sv, qwin), None
 
         idxs = jnp.arange(seg, dtype=jnp.int32)
-        (h, sk, sv, qwin), _ = jax.lax.scan(body, (h, sk, sv, qwin), (idxs, lay))
+        (h, sk, sv, qwin), _ = jax.lax.scan(body, (h, sk, sv, qwin), idxs)
         return sk, sv, qwin, h
 
     def _meta_state(n, h=None):
@@ -248,7 +254,7 @@ def make_programs(
             state_b = tsp_gather(state, tsp)
             fn_b = make_layer_fn(cfg, mcfg, ecfg, shapes, is_post_tsp=True)
             state_b, cache_b = scan_segment(
-                fn_b, state_b, llama.slice_layers(params["layers"], seg, cfg.num_layers)
+                fn_b, state_b, params["layers"], seg, cfg.num_layers
             )
             cache_parts = jax.tree_util.tree_map(
                 lambda *xs: jnp.concatenate(xs, axis=0), cache_a, cache_b

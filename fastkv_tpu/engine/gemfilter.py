@@ -56,7 +56,13 @@ def select_tokens(
     positions = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32)[None, :], (b, s))
     valid = positions < n_true[:, None]
 
-    def body(h, lp):
+    def body(h, li):
+        # dynamic-index the full stacked params (a pre-sliced scan xs becomes
+        # a weight-sized HLO-temp copy — see prefill.scan_segment)
+        lp = jax.tree_util.tree_map(
+            lambda x: jax.lax.dynamic_index_in_dim(x, li, 0, keepdims=False),
+            params["layers"],
+        )
         hn = llama.rms_norm(h, lp["ln_attn"], cfg.rms_norm_eps)
         q, k, v = llama.qkv_proj(lp, cfg, hn)
         q, k = llama.rope_qk(q, k, positions, inv_freq)
@@ -78,7 +84,7 @@ def select_tokens(
         return h, None
 
     fi = mcfg.filter_idx
-    h, _ = jax.lax.scan(body, h, llama.slice_layers(params["layers"], 0, fi))
+    h, _ = jax.lax.scan(body, h, jnp.arange(fi, dtype=jnp.int32))
 
     # filter layer: only q/k needed (reference find_context uses the layer's
     # q_last and keys; gemfilter/llama_model.py:142-151 skips cache writes in

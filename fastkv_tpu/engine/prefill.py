@@ -391,14 +391,28 @@ def make_layer_fn(
     return layer_fn
 
 
-def scan_segment(layer_fn, state: SeqState, layer_params):
-    """lax.scan of layer_fn over stacked layer params; stacks cache outputs."""
+def scan_segment(layer_fn, state: SeqState, layer_params, lo=None, hi=None):
+    """lax.scan of layer_fn over a [lo, hi) slice of the stacked layer params.
 
-    def body(carry, lp):
+    Scans over layer INDICES and dynamic-indexes the full stacked arrays
+    inside the body, rather than scanning over pre-sliced pytrees: XLA
+    materializes `x[lo:hi]` scan inputs as contiguous HLO-temp COPIES, which
+    at 8B scale is ~2.3 GB of duplicated weights PER SEGMENT (observed: the
+    131072-ctx 8B prefill OOMed by ~1 GB with s8[15,4096,14336] slice temps
+    as the #5-7 allocations). Indexing the original buffer per iteration
+    reads the same bytes with zero copies. Stacks cache outputs as before."""
+    if lo is None:
+        lo, hi = 0, jax.tree_util.tree_leaves(layer_params)[0].shape[0]
+
+    def body(carry, i):
+        lp = jax.tree_util.tree_map(
+            lambda x: jax.lax.dynamic_index_in_dim(x, i, 0, keepdims=False),
+            layer_params,
+        )
         new_state, cache_layer, _ = layer_fn(carry, lp)
         return new_state, cache_layer
 
-    return jax.lax.scan(body, state, layer_params)
+    return jax.lax.scan(body, state, jnp.arange(lo, hi, dtype=jnp.int32))
 
 
 def tsp_gather(state: SeqState, tsp: methods.TspSet) -> SeqState:
@@ -493,7 +507,7 @@ def prefill(
     if mcfg.method == Method.FASTKV:
         t = mcfg.tsp_idx
         fn_a = make_layer_fn(cfg, mcfg, ecfg, shapes, is_post_tsp=False, sp_attend=sp_attend)
-        state, cache_a = scan_segment(fn_a, state, llama.slice_layers(lay, 0, t))
+        state, cache_a = scan_segment(fn_a, state, lay, 0, t)
         fn_t = make_layer_fn(
             cfg, mcfg, ecfg, shapes, is_post_tsp=False, want_tsp=True, sp_attend=sp_attend
         )
@@ -512,7 +526,7 @@ def prefill(
                 valid=_seq_sharded(mesh, state.valid, P("data", None)),
             )
         fn_b = make_layer_fn(cfg, mcfg, ecfg, shapes, is_post_tsp=True)
-        state, cache_b = scan_segment(fn_b, state, llama.slice_layers(lay, t + 1, L))
+        state, cache_b = scan_segment(fn_b, state, lay, t + 1, L)
         cache_parts = jax.tree_util.tree_map(
             lambda *xs: jnp.concatenate(xs, axis=0), cache_a, cache_t, cache_b
         )
