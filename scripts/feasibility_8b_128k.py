@@ -10,6 +10,7 @@ transients) — run standalone; a failure here is an OOM data point, not a bug.
 Usage: timeout 3000 python scripts/feasibility_8b_128k.py [ctx]
 """
 
+import os
 import sys
 import time
 
@@ -40,9 +41,14 @@ def main():
         method=Method.FASTKV, eviction_mode="proportional", retain_rate=0.1,
         tsp_rate=0.2, tsp_idx=15, window_size=8, kernel_size=7, pooling="maxpool",
     )
+    kv_int8 = os.environ.get("FEAS_KV_INT8", "1") == "1"
     ecfg = EngineConfig(
         prefill_buckets=(ctx,), max_new_tokens=genlen, use_pallas=True,
         mlp_chunk=4096,
+        # int8 KV halves the compressed cache (~0.9 GB at 131072) — legitimate
+        # for a single-method feasibility demo (no fullkv comparison to keep
+        # fair), parity-tested in tests/test_quant.py
+        kv_int8=kv_int8,
     )
     shapes = prefill_mod.plan_shapes(cfg, mcfg, ecfg, ctx)
     tokens = jnp.ones((1, ctx), jnp.int32)
@@ -82,10 +88,11 @@ def main():
     ) / 1e9
     pt, dt = float(np.mean(pts)), float(np.mean(dts))
     print(
-        f"FEASIBILITY llama-3.1-8b int8w fastkv ctx={ctx}: TTFT {pt:.2f}s, "
+        f"FEASIBILITY llama-3.1-8b int8w{'+int8kv' if kv_int8 else ''} fastkv "
+        f"ctx={ctx}: TTFT {pt:.2f}s, "
         f"decode {(genlen-1)/dt:.1f} tok/s ({dt/(genlen-1)*1e3:.1f} ms/tok), "
         f"compressed cache {cache_gb:.2f} GB "
-        f"(fullkv cache would be {2*cfg.num_layers*cfg.num_kv_heads*cfg.head_dim*2*ctx/1e9:.1f} GB)",
+        f"(fullkv bf16 cache would be {2*cfg.num_layers*cfg.num_kv_heads*cfg.head_dim*2*ctx/1e9:.1f} GB)",
         flush=True,
     )
 
