@@ -248,7 +248,11 @@ def flash_attention(
     positions: jnp.ndarray,  # [b, s] int32 original positions (ascending prefix)
     count: jnp.ndarray,  # [b] int32 number of valid tokens
     sliding_window: Optional[int] = None,
-    block_q: int = 1024,
+    # 2048x1024 measured fastest on v5e at 131072 (66.1 vs 63.1 TF/s for
+    # 1024^2; 2048^2 and 4096x1024 VMEM-fail) — scripts/sweep_flash_blocks.py,
+    # ROOFLINE.md §6. Fused window scoring requires square blocks; the wrapper
+    # clamps to min(bq, bk) there.
+    block_q: int = 2048,
     block_k: int = 1024,
     pattern: str = "causal",  # 'causal' (local diagonal skip) | 'full' (no skip;
     #   used by ring attention for kv chunks that precede the query chunk —
@@ -305,11 +309,9 @@ def flash_attention(
             block_q = min(block_q, 512)
             block_k = min(block_k, 512)
         # the strip is scored exactly once per key block at the iq == ik
-        # diagonal, which requires a square block grid
-        assert block_q == block_k, (
-            f"fused window scoring requires block_q == block_k, got "
-            f"{block_q} != {block_k}"
-        )
+        # diagonal, which requires a square block grid — clamp the (possibly
+        # rectangular) defaults down to square
+        block_q = block_k = min(block_q, block_k)
     # Mosaic's implicit edge-block padding corrupts partial blocks on real TPU
     # (observed: NaN in the valid rows of a trailing partial q block), so pad
     # sequences to block multiples explicitly; zero-padded keys are masked via
