@@ -248,12 +248,14 @@ def flash_attention(
     positions: jnp.ndarray,  # [b, s] int32 original positions (ascending prefix)
     count: jnp.ndarray,  # [b] int32 number of valid tokens
     sliding_window: Optional[int] = None,
-    # 2048x1024 measured fastest on v5e at 131072 (66.1 vs 63.1 TF/s for
-    # 1024^2; 2048^2 and 4096x1024 VMEM-fail) — scripts/sweep_flash_blocks.py,
-    # ROOFLINE.md §6. Fused window scoring requires square blocks; the wrapper
-    # clamps to min(bq, bk) there.
-    block_q: int = 2048,
-    block_k: int = 1024,
+    # None = head_dim-adaptive default: 2048x1024 at d<=64 (measured fastest
+    # on v5e at 131072: 66.1 vs 63.1 TF/s for 1024^2; 2048^2 and 4096x1024
+    # VMEM-fail — scripts/sweep_flash_blocks.py, ROOFLINE.md §6) but 1024^2 at
+    # d=128, where the taller q block's scoped-VMEM stack measures 23.4M > the
+    # 16M limit (observed on-chip, scripts/tpu_kernel_parity.py). Fused window
+    # scoring requires square blocks; the wrapper clamps to min(bq, bk).
+    block_q: Optional[int] = None,
+    block_k: Optional[int] = None,
     pattern: str = "causal",  # 'causal' (local diagonal skip) | 'full' (no skip;
     #   used by ring attention for kv chunks that precede the query chunk —
     #   masking is still position-based either way)
@@ -279,6 +281,10 @@ def flash_attention(
     kh = k.shape[1]
     sk = k.shape[2]
     g = h // kh
+    if block_q is None:
+        block_q = 2048 if d <= 64 else 1024
+    if block_k is None:
+        block_k = 1024
     if k_positions is None:
         k_positions = positions
     if k_count is None:
