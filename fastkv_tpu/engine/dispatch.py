@@ -143,7 +143,12 @@ class Coordinator:
                     name = msg.get("name", "?")
                 elif op == "get":
                     with self._lock:
-                        if self._queue:
+                        if self._failed:
+                            # a poison ticket burned its re-admissions: stop
+                            # handing out work so workers exit instead of
+                            # polling forever (wait_results raises the error)
+                            _send(conn, {"op": "done"})
+                        elif self._queue:
                             items = self._queue[: max(1, int(msg.get("n", 1)))]
                             del self._queue[: len(items)]
                             for it in items:

@@ -158,6 +158,30 @@ def test_dispatch_worker_death_readmits(stack):
         assert res[tid]["tokens"] == want
 
 
+def test_dispatch_poison_request_capped(stack):
+    """A ticket whose workers keep dying is re-admitted at most
+    max_readmissions times, then surfaces as a coordinator failure instead of
+    cycling forever."""
+    import threading
+
+    from fastkv_tpu.engine.dispatch import Coordinator, serve_worker
+
+    coord = Coordinator(max_readmissions=1)
+    coord.submit(stack[-1][0], 4)
+    coord.seal()
+    for i in range(3):  # every worker grabs the ticket and vanishes
+        t = threading.Thread(
+            target=serve_worker,
+            args=(coord.address, make_sched(stack)),
+            kwargs=dict(name=f"dying{i}", batch=1, max_batches=0),
+        )
+        t.start()
+        t.join(timeout=60)
+    with pytest.raises(RuntimeError, match="re-admissions"):
+        coord.wait_results(timeout=30)
+    coord.close()
+
+
 _WORKER = textwrap.dedent(
     """
     import sys
