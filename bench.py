@@ -323,7 +323,11 @@ def main():
             ladder = (c,) + tuple(x for x in DEFAULT_LADDER if x < c)
         else:
             ladder = DEFAULT_LADDER
-    rung_timeout = int(os.environ.get("FASTKV_BENCH_RUNG_TIMEOUT", "1800"))
+    # 2400s: a rung is ~11 min of work, but a fresh process attaching after a
+    # worker restart can pay up to ~16 min of device warmup first (observed
+    # round 4) — 1800s made the top rung time out exactly when a previous
+    # rung's crash had forced a restart
+    rung_timeout = int(os.environ.get("FASTKV_BENCH_RUNG_TIMEOUT", "2400"))
 
     for rung in ladder:
         log(f"=== ladder rung ctx={rung} (subprocess, timeout {rung_timeout}s) ===")
