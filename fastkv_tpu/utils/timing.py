@@ -21,7 +21,6 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 def force(x: Any) -> float:
@@ -40,14 +39,3 @@ def warmup_device() -> float:
     return time.perf_counter() - t0
 
 
-def timed(fn, *args, reps: int = 1) -> tuple[float, Any]:
-    """Run fn(*args) reps times, forcing completion each time; returns
-    (mean seconds, last output)."""
-    out = None
-    times = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        out = fn(*args)
-        force(out)
-        times.append(time.perf_counter() - t0)
-    return float(np.mean(times)), out
