@@ -71,43 +71,3 @@ def empty_cache(
     )
 
 
-def write_prefill_layer(
-    k_kept: jnp.ndarray,  # [b, CH, Cp, d]
-    v_kept: jnp.ndarray,
-    pos_kept: jnp.ndarray,  # [b, CH, Cp]
-    valid_kept: jnp.ndarray,
-    decode_capacity: int,
-):
-    """Produce one layer's cache arrays with decode headroom appended (as zeros).
-
-    Used as the per-layer output inside the prefill layer scan; `lax.scan`
-    stacks these into the [L, ...] cache arrays.
-    """
-    b, ch, cp, d = k_kept.shape
-    pad_kv = ((0, 0), (0, 0), (0, decode_capacity), (0, 0))
-    pad_m = ((0, 0), (0, 0), (0, decode_capacity))
-    return (
-        jnp.pad(k_kept, pad_kv),
-        jnp.pad(v_kept, pad_kv),
-        jnp.pad(pos_kept, pad_m),
-        jnp.pad(valid_kept, pad_m),
-    )
-
-
-def append_decode_token(
-    cache: KVCache,
-    k_new: jnp.ndarray,  # [L, b, CH, 1, d]
-    v_new: jnp.ndarray,
-    pos_new: jnp.ndarray,  # [b] int32 position of the new token
-    slot: jnp.ndarray,  # traced scalar int32: prefill_capacity + step
-) -> KVCache:
-    """Append one decoded token's K/V at `slot` across all layers."""
-    L, b, ch, c, d = cache.k.shape
-    zeros = jnp.zeros((), jnp.int32)
-    k = jax.lax.dynamic_update_slice(cache.k, k_new, (zeros, zeros, zeros, slot, zeros))
-    v = jax.lax.dynamic_update_slice(cache.v, v_new, (zeros, zeros, zeros, slot, zeros))
-    pos_blk = jnp.broadcast_to(pos_new[None, :, None, None], (L, b, ch, 1)).astype(jnp.int32)
-    pos = jax.lax.dynamic_update_slice(cache.pos, pos_blk, (zeros, zeros, zeros, slot))
-    valid_blk = jnp.ones((L, b, ch, 1), bool)
-    valid = jax.lax.dynamic_update_slice(cache.valid, valid_blk, (zeros, zeros, zeros, slot))
-    return KVCache(k=k, v=v, pos=pos, valid=valid)

@@ -208,9 +208,6 @@ def params_from_hf_state_dict(cfg: ModelConfig, sd, dtype=None) -> Params:
     return _unflatten(flat)
 
 
-def slice_layers(layers: Params, lo: int, hi: int) -> Params:
-    """Static slice of the stacked layer params: layers [lo, hi)."""
-    return jax.tree_util.tree_map(lambda x: x[lo:hi], layers)
 
 
 # ---------------------------------------------------------------------------

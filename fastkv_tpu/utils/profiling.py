@@ -108,13 +108,6 @@ def attention_prefill_roofline(
     return Roofline(flops=flops, bytes_moved=bytes_moved, seconds=seconds)
 
 
-def decode_step_roofline(
-    seconds: float, param_bytes: float, cache_bytes: float
-) -> Roofline:
-    """Decode is bandwidth-bound: one pass over weights + valid cache."""
-    return Roofline(flops=0.0, bytes_moved=param_bytes + cache_bytes, seconds=seconds)
-
-
 @dataclass
 class PhaseLogger:
     """Structured JSONL logging of engine phases (queue/prefill/decode)."""

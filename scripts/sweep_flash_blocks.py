@@ -20,6 +20,7 @@ import numpy as np
 
 def main():
     from fastkv_tpu.ops.flash_prefill import flash_attention
+    from fastkv_tpu.utils.profiling import attention_prefill_roofline
     from fastkv_tpu.utils.timing import force, warmup_device
 
     print(f"warmup {warmup_device():.1f}s", file=sys.stderr, flush=True)
@@ -31,7 +32,6 @@ def main():
     pos = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32)[None], (b, s))
     count = jnp.asarray([s], jnp.int32)
 
-    flops = 4 * h * s * s * d / 2  # causal half, QK^T + PV
     for bq, bk in ((1024, 1024), (2048, 1024), (1024, 2048), (512, 1024),
                    (2048, 2048), (4096, 1024), (1024, 512)):
         try:
@@ -45,9 +45,13 @@ def main():
                 )
                 force(out)
                 ts.append(time.perf_counter() - t0)
-            m = float(np.mean(ts))
+            rl = attention_prefill_roofline(
+                float(np.mean(ts)), s=s, d=d, num_heads=h, num_kv_heads=kh
+            )
             print(
-                f"bq={bq} bk={bk}: {m*1e3:.0f} ms  {flops/m/1e12:.1f} TF/s",
+                f"bq={bq} bk={bk}: {rl.seconds*1e3:.0f} ms  "
+                f"{rl.achieved_tflops:.1f} TF/s  "
+                f"({rl.efficiency:.0%} of roofline, {('compute' if rl.compute_bound else 'memory')}-bound)",
                 flush=True,
             )
         except Exception as e:
