@@ -88,6 +88,69 @@ def test_chunk_pipeline_matches_monolithic_prefill(setup, method, kv_int8):
     )
 
 
+def test_chunk_pipeline_sliding_window_matches_monolithic():
+    """Mistral-style sliding window: the chunk attention's SWA masking (by
+    layout index, engine.prefill._mask_positions semantics) must reproduce
+    the monolithic prefill exactly."""
+    cfg = ModelConfig.tiny(num_layers=4, sliding_window=64)
+    params = init_params(cfg, seed=1)
+    mcfg = mk_mcfg(Method.FASTKV)
+    ecfg = EngineConfig(**ECFG_KW)
+    shapes = prefill_mod.plan_shapes(cfg, mcfg, ecfg, 256)
+    rng = np.random.default_rng(9)
+    n = 230  # > sliding_window: the window actually truncates attention
+    prompt = rng.integers(0, cfg.vocab_size, n).tolist()
+
+    tokens = np.zeros((1, 256), np.int32)
+    tokens[0, :n] = prompt
+    ref_logits, ref_cache = prefill_mod.prefill(
+        params, cfg, mcfg, ecfg, shapes, jnp.asarray(tokens),
+        jnp.asarray([n], jnp.int32),
+    )
+    progs = chunked.make_programs(cfg, mcfg, ecfg, shapes, chunk=64)
+    adm = chunked.start_admission(progs, slot=0, req=None, prompt=prompt)
+    out = None
+    while out is None:
+        out = chunked.advance(progs, params, adm)
+    logits, cache = out
+    np.testing.assert_allclose(
+        np.asarray(logits), np.asarray(ref_logits), rtol=2e-4, atol=2e-4
+    )
+    assert np.array_equal(np.asarray(cache.valid), np.asarray(ref_cache.valid))
+    assert np.array_equal(np.asarray(cache.pos), np.asarray(ref_cache.pos))
+
+
+def test_chunk_pipeline_flash_path_matches_xla(setup):
+    """use_pallas=True routes chunk attention through the rectangular flash
+    kernel with the k_hi gate (interpret mode on CPU); results must match the
+    XLA chunk path bit-for-bit in selection and closely in values."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    cfg, params = setup
+    mcfg = mk_mcfg(Method.FASTKV)
+    shapes = prefill_mod.plan_shapes(cfg, mcfg, EngineConfig(**ECFG_KW), 256)
+    rng = np.random.default_rng(11)
+    prompt = rng.integers(0, cfg.vocab_size, 201).tolist()
+
+    def run(use_pallas):
+        ecfg = EngineConfig(**{**ECFG_KW, "use_pallas": use_pallas})
+        progs = chunked.make_programs(cfg, mcfg, ecfg, shapes, chunk=64)
+        adm = chunked.start_admission(progs, slot=0, req=None, prompt=prompt)
+        out = None
+        while out is None:
+            out = chunked.advance(progs, params, adm)
+        return out
+
+    logits_x, cache_x = run(False)
+    with pltpu.force_tpu_interpret_mode():
+        logits_p, cache_p = run(True)
+    np.testing.assert_allclose(
+        np.asarray(logits_p), np.asarray(logits_x), rtol=5e-4, atol=5e-4
+    )
+    assert np.array_equal(np.asarray(cache_p.valid), np.asarray(cache_x.valid))
+    assert np.array_equal(np.asarray(cache_p.pos), np.asarray(cache_x.pos))
+
+
 @pytest.mark.parametrize("method", [Method.FASTKV, Method.SNAPKV])
 def test_scheduler_chunked_token_parity(setup, method):
     """Scheduler output is identical with and without chunked admission —
