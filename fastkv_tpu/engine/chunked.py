@@ -171,6 +171,10 @@ def make_programs(
                     q, k_all, v_all, qpos, kv_count,
                     sliding_window=cfg.sliding_window,
                     k_positions=kpos, k_count=kv_count, k_hi=kv_count,
+                    # rect calls pin 1024^2 blocks: the d<=64 2048-q-block
+                    # default's scoped-VMEM stack measures 16.89M > 16M in the
+                    # rectangular layout at S=131072 (on-chip compile error)
+                    block_q=1024, block_k=1024,
                 )
             else:
                 attn = att.chunked_causal_attention(

@@ -78,7 +78,11 @@ def main():
     params = init_params_int8_on_device(cfg, seed=0)
     force(params["final_norm"])
 
-    for mode in (None, chunk):
+    import os
+
+    modes = [] if os.environ.get("STALL_SKIP_MONO") == "1" else [None]
+    modes.append(chunk)
+    for mode in modes:
         run_mode(params, cfg, mode, bucket)
 
 
