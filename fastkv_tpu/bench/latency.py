@@ -224,6 +224,12 @@ def main(argv=None):
         "(TensorBoard/Perfetto-compatible; utils.profiling.trace)",
     )
     p.add_argument(
+        "--jsonl", default=None, metavar="PATH",
+        help="append structured per-phase JSONL records (ts/phase/metrics) to "
+        "PATH via utils.profiling.PhaseLogger — the SURVEY §5 observability "
+        "stream ('-' = stderr)",
+    )
+    p.add_argument(
         "--h2o_no_cap", action="store_true",
         help="lift the reference's 8192-context cap on H2O: the chunked "
         "O(s)-memory scorer (ops.attention.h2o_scores) removes the O(n^2) "
@@ -252,6 +258,11 @@ def main(argv=None):
 
     from fastkv_tpu.utils import profiling
 
+    plogger = None
+    if args.jsonl:
+        stream = sys.stderr if args.jsonl == "-" else open(args.jsonl, "a")
+        plogger = profiling.PhaseLogger(stream=stream)
+
     tracer = profiling.trace(args.trace) if args.trace else contextlib.nullcontext()
     with tracer:
         for ctx in args.context_lengths:
@@ -266,6 +277,8 @@ def main(argv=None):
             )
             results.append(r)
             log(json.dumps(r))
+            if plogger is not None:
+                plogger.log(args.mode, method=args.method, model=cfg.name, **r)
             with open(out_txt, "a") as f:
                 f.write(json.dumps({"method": args.method, **r}) + "\n")
     print(json.dumps(results))

@@ -442,6 +442,14 @@ class EngineConfig:
     # applies while other requests are decoding (idle admissions run the
     # monolithic program, which is strictly faster end-to-end).
     prefill_chunk: Optional[int] = None
+    # Decode steps interleaved per admission chunk. 1 = the classic 1:1
+    # interleave. Larger K amortizes the chunk cost over K running-request
+    # tokens: only ~1/K of inter-token gaps pay a chunk, which pulls the gap
+    # distribution's upper quantiles toward the decode floor while the MAX gap
+    # stays one chunk (+ finish). The admitted request's makespan grows by
+    # (K-1) extra decode steps per chunk — cheap while chunks dominate.
+    # Measured tradeoff table: ROOFLINE.md §7.
+    chunk_decode_steps: int = 1
 
     def mlp_chunk_for(self, s: int) -> int:
         if self.mlp_chunk is not None:

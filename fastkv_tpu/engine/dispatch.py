@@ -8,23 +8,40 @@ PULL from over TCP, with results streamed back and worker-death re-admission.
 Topology (matches the jax.distributed multi-controller layout,
 engine.serve.init_distributed): process 0 runs the `Coordinator` (a
 newline-delimited-JSON TCP server on the DCN/loopback interface) and every
-process — including 0 — runs `serve_worker`, which drains batches through its
-local Scheduler/FrontDoor. The model runtime stays SPMD per host; only
-request/response metadata crosses this socket (prompts + token ids, O(KB) —
-never tensors), so the transport is latency-insensitive relative to prefill.
+process — including 0 — runs `serve_worker`, which drains tickets through its
+local Scheduler. The model runtime stays SPMD per host; only request/response
+metadata crosses this socket (prompts + token ids, O(KB) — never tensors), so
+the transport is latency-insensitive relative to prefill.
 
-Failure semantics mirror FrontDoor's elastic re-admission: a worker whose
-connection drops (process death, network partition) gets its outstanding
-tickets re-queued; stateless greedy re-execution produces identical tokens.
+Failure semantics (SURVEY §5 failure-detection row: "missed-heartbeat
+detection via coordinator"):
+  * DEATH: a worker whose connection drops (process death, network partition)
+    gets its outstanding tickets re-queued immediately.
+  * HANG: every ticket handed out carries a LEASE. Workers heartbeat between
+    scheduler steps — progress-gated, not thread-liveness-gated: the beat is
+    sent from the scheduler's step loop, so a wedged device (run() stuck in a
+    dispatch that never completes — the documented TPU failure mode) stops
+    beating even though the process and socket stay alive. The coordinator
+    re-admits tickets whose lease expires; a late result from a recovered
+    worker is deduplicated first-wins (stateless greedy re-execution produces
+    identical tokens).
 A `max_readmissions` cap prevents a poison request from cycling forever.
+
+Streaming: `serve_worker` feeds tickets into the Scheduler's step loop via
+its `intake` hook (`Scheduler._run_loop`) — tickets that arrive while decode
+is running join the running batch through the scheduler's own interleaved
+(optionally chunked) admission, and finished results stream back per request.
+Continuous batching does not stop at the host boundary.
 
 Protocol (one JSON object per line, either direction):
   worker -> {"op": "hello", "name": str}
-            {"op": "get", "n": int}           request up to n tickets
+            {"op": "get", "n": int}           heartbeat + request <= n tickets
+            {"op": "hb"}                      heartbeat only (no work wanted)
             {"op": "result", "items": [...]}  completed tickets
   coord  -> {"op": "work", "items": [{"tid", "prompt", "max_new_tokens",
              "eos_ids"}]}
             {"op": "wait"}                    nothing queued now, poll again
+            {"op": "ok"}                      heartbeat ack
             {"op": "done"}                    sealed and fully drained: exit
 """
 
@@ -37,8 +54,13 @@ import time
 from typing import Any, Dict, List, Optional, Sequence
 
 
-def _send(sock: socket.socket, obj: Dict[str, Any]) -> None:
-    sock.sendall((json.dumps(obj) + "\n").encode())
+def _send(sock: socket.socket, obj: Dict[str, Any], lock=None) -> None:
+    data = (json.dumps(obj) + "\n").encode()
+    if lock is None:
+        sock.sendall(data)
+    else:
+        with lock:
+            sock.sendall(data)
 
 
 class _LineReader:
@@ -56,15 +78,18 @@ class Coordinator:
     """Rank-0 request queue + result sink for pull-based worker dispatch."""
 
     def __init__(self, host: str = "127.0.0.1", port: int = 0,
-                 max_readmissions: int = 2):
+                 max_readmissions: int = 2, lease_s: float = 30.0):
         self.max_readmissions = max_readmissions
+        self.lease_s = lease_s
         self._lock = threading.Condition()
         self._queue: List[Dict[str, Any]] = []
         self._outstanding: Dict[int, Dict[str, Any]] = {}  # tid -> ticket
+        self._lease: Dict[int, float] = {}  # tid -> monotonic deadline
         self._results: Dict[int, Dict[str, Any]] = {}
         self._readmits: Dict[int, int] = {}
         self._next = 0
         self._sealed = False
+        self._closed = False
         self._failed: Optional[str] = None
         self._srv = socket.create_server((host, port))
         self.address = self._srv.getsockname()  # (host, port)
@@ -99,6 +124,7 @@ class Coordinator:
         deadline = time.monotonic() + timeout
         with self._lock:
             while len(self._results) < self._next:
+                self._reap_expired_locked()
                 if self._failed:
                     raise RuntimeError(self._failed)
                 remaining = deadline - time.monotonic()
@@ -112,10 +138,47 @@ class Coordinator:
             return [self._results[t] for t in range(self._next)]
 
     def close(self) -> None:
+        # Mark closed FIRST: handlers on still-open worker connections reply
+        # 'done' to their next 'get' instead of polling 'wait' forever after a
+        # wait_results timeout/failure left the queue non-empty (ADVICE r4).
+        with self._lock:
+            self._closed = True
+            self._lock.notify_all()
         try:
             self._srv.close()
         except OSError:
             pass
+
+    # -- lease bookkeeping (all called under self._lock) ----------------------
+
+    def _renew_locked(self, assigned: Dict[int, Dict[str, Any]]) -> None:
+        deadline = time.monotonic() + self.lease_s
+        for tid in assigned:
+            if tid in self._lease:
+                self._lease[tid] = deadline
+
+    def _requeue_locked(self, tid: int, why: str) -> None:
+        """Move an outstanding ticket back to the queue (or fail on the cap)."""
+        it = self._outstanding.pop(tid, None)
+        self._lease.pop(tid, None)
+        if it is None or tid in self._results:
+            return
+        n = self._readmits.get(tid, 0) + 1
+        if n > self.max_readmissions:
+            self._failed = (
+                f"ticket {tid} exceeded {self.max_readmissions} "
+                f"re-admissions ({why})"
+            )
+        else:
+            self._readmits[tid] = n
+            self._queue.append(it)
+
+    def _reap_expired_locked(self) -> None:
+        now = time.monotonic()
+        for tid in [t for t, d in self._lease.items() if d < now]:
+            self._requeue_locked(tid, "lease expired: worker stopped heartbeating")
+        if self._lease or self._queue:
+            self._lock.notify_all()
 
     # -- server side ----------------------------------------------------------
 
@@ -141,9 +204,18 @@ class Coordinator:
                 op = msg.get("op")
                 if op == "hello":
                     name = msg.get("name", "?")
+                elif op == "hb":
+                    with self._lock:
+                        self._renew_locked(assigned)
+                        self._reap_expired_locked()
+                    _send(conn, {"op": "ok"})
                 elif op == "get":
                     with self._lock:
-                        if self._failed:
+                        self._renew_locked(assigned)
+                        self._reap_expired_locked()
+                        if self._closed:
+                            _send(conn, {"op": "done"})
+                        elif self._failed:
                             # a poison ticket burned its re-admissions: stop
                             # handing out work so workers exit instead of
                             # polling forever (wait_results raises the error)
@@ -151,8 +223,10 @@ class Coordinator:
                         elif self._queue:
                             items = self._queue[: max(1, int(msg.get("n", 1)))]
                             del self._queue[: len(items)]
+                            deadline = time.monotonic() + self.lease_s
                             for it in items:
                                 self._outstanding[it["tid"]] = it
+                                self._lease[it["tid"]] = deadline
                                 assigned[it["tid"]] = it
                             _send(conn, {"op": "work", "items": items})
                         elif self._sealed and not self._outstanding and (
@@ -163,33 +237,31 @@ class Coordinator:
                             _send(conn, {"op": "wait"})
                 elif op == "result":
                     with self._lock:
+                        self._renew_locked(assigned)
                         for it in msg["items"]:
                             tid = it["tid"]
+                            assigned.pop(tid, None)
+                            self._outstanding.pop(tid, None)
+                            self._lease.pop(tid, None)
+                            # a re-queued copy may still be waiting: drop it
+                            self._queue = [q for q in self._queue
+                                           if q["tid"] != tid]
+                            if tid in self._results:
+                                continue  # first result wins (greedy = same)
                             it["worker"] = name
                             it["readmissions"] = self._readmits.get(tid, 0)
                             self._results[tid] = it
-                            self._outstanding.pop(tid, None)
-                            assigned.pop(tid, None)
                         self._lock.notify_all()
         except (OSError, ValueError, json.JSONDecodeError):
             pass
         finally:
             conn.close()
-            # worker died (or left) with tickets in flight: re-admit
+            # worker died (or left) with tickets in flight: re-admit those it
+            # still owns (a lease expiry may already have moved some)
             with self._lock:
-                for tid, it in assigned.items():
-                    if tid in self._results:
-                        continue
-                    self._outstanding.pop(tid, None)
-                    n = self._readmits.get(tid, 0) + 1
-                    if n > self.max_readmissions:
-                        self._failed = (
-                            f"ticket {tid} exceeded {self.max_readmissions} "
-                            f"re-admissions (worker {name} died repeatedly)"
-                        )
-                    else:
-                        self._readmits[tid] = n
-                        self._queue.append(it)
+                for tid in assigned:
+                    if tid in self._outstanding:
+                        self._requeue_locked(tid, f"worker {name} disconnected")
                 self._lock.notify_all()
 
 
@@ -200,48 +272,100 @@ def serve_worker(
     batch: int = 2,
     poll_s: float = 0.05,
     max_batches: Optional[int] = None,
+    hang_s: Optional[float] = None,
 ) -> int:
-    """Pull-run-report loop over one local Scheduler. Returns #tickets served.
+    """Streaming pull-run-report loop over one local Scheduler. Returns
+    #tickets served.
 
-    `max_batches` is a fault-injection hook for tests: the worker disconnects
-    (simulating host death) after that many batches, leaving its in-flight
-    tickets for the coordinator to re-admit."""
+    Tickets are pulled and results reported from INSIDE the scheduler's step
+    loop (`Scheduler._run_loop` intake hook): arrivals join the running decode
+    batch through the scheduler's interleaved admission instead of waiting for
+    a full drain, and each poll doubles as the worker's heartbeat — the beat
+    stops if the device wedges mid-step, so the coordinator's lease machinery
+    re-admits this worker's tickets elsewhere.
+
+    Fault-injection hooks for tests: `max_batches` makes the worker disconnect
+    (simulating host death) after pulling that many work batches, leaving its
+    in-flight tickets for the coordinator to re-admit; `hang_s` makes it stop
+    heartbeating for that long while HOLDING tickets with the socket open
+    (simulating a wedged device) after its first work batch."""
     sock = socket.create_connection(tuple(address))
     reader = _LineReader(sock)
     served = 0
-    rounds = 0
+    state = {"rounds": 0, "done": False, "dead": False, "last_poll": 0.0,
+             "hung": False}
+    rid2tid: Dict[int, int] = {}
+
+    def report_finished() -> int:
+        """Stream any finished requests back; returns how many were sent."""
+        out = []
+        while scheduler.finished:
+            req = scheduler.finished.pop(0)
+            tid = rid2tid.pop(req.req_id, None)
+            if tid is None:
+                continue
+            out.append({
+                "tid": tid,
+                "tokens": list(map(int, req.tokens)),
+                **{k: v for k, v in req.metrics.items() if k not in ("req_id",)},
+            })
+        if out:
+            _send(sock, {"op": "result", "items": out})
+        return len(out)
+
+    def intake() -> bool:
+        """Heartbeat + pull + stream results. Runs between scheduler steps."""
+        nonlocal served
+        if state["done"] or state["dead"]:
+            return False
+        served += report_finished()
+        now = time.monotonic()
+        busy = bool(scheduler.active.any()) or scheduler._adm is not None
+        if busy and now - state["last_poll"] < poll_s:
+            return True  # throttle polling while decoding
+        state["last_poll"] = now
+        free = scheduler.max_batch - int(scheduler.active.sum()) - len(scheduler.queue)
+        want = max(0, min(batch, free)) if scheduler._adm is None else 0
+        if want == 0:
+            _send(sock, {"op": "hb"})
+        else:
+            _send(sock, {"op": "get", "n": want})
+        msg = reader.read()
+        if msg is None:
+            state["dead"] = True
+            return False
+        if msg["op"] == "done":
+            state["done"] = True
+            return False
+        if msg["op"] in ("ok", "wait"):
+            if not busy and msg["op"] == "wait":
+                time.sleep(poll_s)
+            return not busy  # idle + nothing queued: let run() return; the
+            # outer loop keeps polling until 'done'
+        # work
+        if max_batches is not None and state["rounds"] >= max_batches:
+            state["dead"] = True  # injected death: vanish holding the tickets
+            return False
+        state["rounds"] += 1
+        for it in msg["items"]:
+            rid = scheduler.submit(
+                it["prompt"], it["max_new_tokens"], tuple(it["eos_ids"])
+            )
+            rid2tid[rid] = it["tid"]
+        if hang_s is not None and not state["hung"]:
+            state["hung"] = True  # injected wedge: hold tickets, no heartbeat
+            time.sleep(hang_s)
+        return True
+
     try:
         _send(sock, {"op": "hello", "name": name})
-        while True:
-            _send(sock, {"op": "get", "n": batch})
-            msg = reader.read()
-            if msg is None or msg["op"] == "done":
-                return served
-            if msg["op"] == "wait":
-                time.sleep(poll_s)
-                continue
-            items = msg["items"]
-            if max_batches is not None and rounds >= max_batches:
-                return served  # injected death: vanish holding these tickets
-            rounds += 1
-            rid2tid = {}
-            for it in items:
-                rid = scheduler.submit(
-                    it["prompt"], it["max_new_tokens"], tuple(it["eos_ids"])
-                )
-                rid2tid[rid] = it["tid"]
-            done = scheduler.run()
-            out = []
-            for req in done:
-                if req.req_id not in rid2tid:
-                    continue
-                out.append({
-                    "tid": rid2tid[req.req_id],
-                    "tokens": list(map(int, req.tokens)),
-                    **{k: v for k, v in req.metrics.items()
-                       if k not in ("req_id",)},
-                })
-            served += len(out)
-            _send(sock, {"op": "result", "items": out})
+        while not (state["done"] or state["dead"]):
+            scheduler.events.clear()
+            scheduler._run_loop(intake=intake)
+            served += report_finished()
+            if state["done"] or state["dead"]:
+                break
+            time.sleep(poll_s)
+        return served
     finally:
         sock.close()

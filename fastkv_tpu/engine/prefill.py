@@ -142,6 +142,12 @@ def _attend(
     if use_pallas:
         from fastkv_tpu.ops import flash_prefill
 
+        # NOTE: the kernel's pure-causal fast path leaves finite garbage in
+        # rows that see zero visible keys (only possible for INVALID rows —
+        # padded rows in post-TSP segment B layouts); every consumer of the
+        # attention output downstream masks by state.valid (tsp_gather,
+        # _gather_cache, the last-valid-token unembed), so the garbage never
+        # reaches a result. See the invariant comment in flash_prefill.py.
         return flash_prefill.flash_attention(
             q, k, v, mpos, state.count, sliding_window=cfg.sliding_window
         )

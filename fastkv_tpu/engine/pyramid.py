@@ -403,13 +403,19 @@ def decode_step(
     pstate: PyramidDecodeState,
     token: jnp.ndarray,  # [b] int32
     pos: jnp.ndarray,  # [b] int32 original position
-    slot: jnp.ndarray,  # int32 scalar cache slot for this token
-    stamp: jnp.ndarray,  # int32 scalar decode step stamp (1 = first generated)
+    slot: jnp.ndarray,  # int32 scalar (uniform) or [b] per-example cache slot
+    stamp: jnp.ndarray,  # int32 scalar or [b] decode step stamp (1 = first)
     n_true: jnp.ndarray,  # [b]
     r_dyn: jnp.ndarray,  # [b] frozen recent length
 ) -> Tuple[jnp.ndarray, KVCache, PyramidDecodeState]:
     """One pyramid decode step: forward + score-buffer update + (conditional)
-    generation-stage eviction per layer (reference :1076-1131)."""
+    generation-stage eviction per layer (reference :1076-1131).
+
+    Per-example `slot`/`stamp` vectors serve the continuous-batching Scheduler,
+    where each decode slot sits at a different depth (engine.scheduler); the
+    Engine's scanned generation passes uniform scalars."""
+    from fastkv_tpu.engine.decode import _dus_batch
+
     inv_freq = jnp.asarray(compute_inv_freq(cfg))
     b = token.shape[0]
     L = cfg.num_layers
@@ -420,6 +426,9 @@ def decode_step(
     rr = pstate.probs.shape[2]
     zero = jnp.zeros((), jnp.int32)
     biot = jnp.arange(b)[:, None]
+    per_example = getattr(slot, "ndim", 0) == 1
+    # stamp is used batched everywhere below; a scalar broadcasts losslessly
+    stamp = jnp.broadcast_to(jnp.asarray(stamp, jnp.int32), (b,))
 
     k_all, v_all, pos_all, valid_all = cache.k, cache.v, cache.pos, cache.valid
     probs_a, stamp_a = pstate.probs, pstate.row_stamp
@@ -427,6 +436,9 @@ def decode_step(
     pos_blk = jnp.broadcast_to(pos[:, None, None], (b, ch, 1)).astype(jnp.int32)
 
     def write(arr_all, li, upd):
+        if per_example:
+            layer = _dus_batch(arr_all[li], upd, slot.astype(jnp.int32))
+            return arr_all.at[li].set(layer)
         idx = (jnp.int32(li), zero, zero, slot) + ((zero,) if upd.ndim == 4 else ())
         return jax.lax.dynamic_update_slice(arr_all, upd[None], idx)
 
@@ -446,9 +458,10 @@ def decode_step(
         # ---- score-buffer update (reference :1080-1081,1131) ----
         # new row = this query's head-averaged probs over cache slots; rows'
         # probs at slots appended later are zero by construction
-        ring = jnp.mod(stamp, rr)
-        probs_l = probs_a[l].at[:, ring, :].set(pm)
-        stamp_l = stamp_a[l].at[:, ring].set(stamp)
+        ring = jnp.mod(stamp, rr)  # [b]
+        brow = jnp.arange(b)
+        probs_l = probs_a[l].at[brow, ring, :].set(pm)
+        stamp_l = stamp_a[l].at[brow, ring].set(stamp)
         live_l = live_a[l] + 1
 
         # ---- generation-stage compression event (reference :1092-1129) ----

@@ -5,16 +5,35 @@ New TPU scope (the reference is strictly batch-1 offline evaluation; SURVEY.md
 §2.4). Design:
 
   * `max_batch` decode slots share one stacked KVCache (capacity planned for
-    the scheduler's bucket). Every engine step runs a full-batch decode;
-    inactive slots compute garbage that is never read.
-  * Admission: a queued request is prefilled (batch-1 program, any method —
-    FastKV TSP included) and its compressed cache is written into a free slot.
-    Slot-tagged per-example decode offsets use the per-example
-    dynamic_update_slice path in fastkv_tpu.engine.decode.
+    the scheduler's LARGEST bucket). Every engine step runs a full-batch
+    decode; inactive slots compute garbage that is never read.
+  * Admission: a queued request is prefilled (batch-1 program at the smallest
+    bucket that fits, from the same ladder Engine.generate uses) and its
+    compressed cache is written into a free slot (padded up to the shared
+    capacity; the gap slots are validity-masked). Slot-tagged per-example
+    decode offsets use the per-example dynamic_update_slice path in
+    fastkv_tpu.engine.decode.
+  * Per-method admission/decode routing mirrors the reference e2e harness's
+    per-method paths (reference benchmark/e2e.py:158,188-195,218-232):
+    GEMFILTER admissions run the pass-1 token selection then a FullKV prefill
+    of the reduced prompt (engine.gemfilter); PYRAMIDINFER admissions run the
+    pyramid prefill with decode state, and decode steps run the pyramid step
+    with generation-stage re-compression (engine.pyramid). Every other method
+    uses the standard prefill/decode pair. No method silently degrades.
+  * Over-length prompts: explicit policy — reference-protocol middle
+    truncation (keep first half + last half, reference
+    eval/run_longbench.py:201-207) or reject; never a silent tail drop.
   * Retirement: EOS or max_new_tokens frees the slot for the next queued
     request.
   * Observability: per-request queue time, TTFT, decode TPOT, and token counts
     (structured dicts; SURVEY.md §5 metrics/logging).
+
+Sharded replicas: pass (pcfg, mesh) with params already placed via
+parallel.sharding.shard_params and the scheduler runs its prefill/decode
+programs over that mesh (TP/PP within one replica; the SPMD partitioner
+inserts the collectives). On a pod slice a DP "replica" IS a TP mesh — this
+joins the serving loop with the engine-level parallelism (SURVEY §5
+'multi-host serving loop'); tests/test_serve.py covers TP=2 token parity.
 
 This is the single-host core; DP replicas each run one Scheduler and a front
 door assigns requests across replicas (multi-host serving loop: see
@@ -23,6 +42,8 @@ fastkv_tpu.engine.serve).
 
 from __future__ import annotations
 
+import collections
+import contextlib
 import dataclasses
 import time
 from typing import Any, Dict, List, Optional, Sequence
@@ -32,7 +53,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from fastkv_tpu.cache.kv_cache import KVCache, empty_cache
-from fastkv_tpu.core.config import EngineConfig, MethodConfig, ModelConfig
+from fastkv_tpu.core.config import (
+    EngineConfig,
+    Method,
+    MethodConfig,
+    ModelConfig,
+    pick_bucket,
+)
 from fastkv_tpu.engine import decode as decode_mod
 from fastkv_tpu.engine import prefill as prefill_mod
 from fastkv_tpu.policies.methods import cache_heads
@@ -75,6 +102,10 @@ class Scheduler:
         bucket: int = 4096,
         max_new_tokens: int = 256,
         logger: Optional["PhaseLogger"] = None,
+        events_cap: int = 1 << 16,
+        overlength: str = "truncate_middle",  # 'truncate_middle' | 'reject'
+        pcfg=None,  # Optional[ParallelConfig]: run this replica over a mesh
+        mesh=None,  # required when pcfg is set (params must be pre-sharded)
     ):
         # per-request structured metrics (queue/TTFT/TPOT) as JSON lines —
         # SURVEY §5 observability row; see utils.profiling.PhaseLogger
@@ -89,13 +120,54 @@ class Scheduler:
         self.max_batch = max_batch
         self.bucket = bucket
         self.max_new = max_new_tokens
-        self.shapes = prefill_mod.plan_shapes(cfg, mcfg, self.ecfg, bucket)
+        if overlength not in ("truncate_middle", "reject"):
+            raise ValueError(f"unknown overlength policy {overlength!r}")
+        self.overlength = overlength
+        self.pcfg = pcfg
+        self.mesh = mesh
+        self.method = mcfg.method
 
-        ch = cache_heads(mcfg.method, cfg)
+        # Admission bucket ladder: the same buckets Engine.generate picks from,
+        # capped at this scheduler's capacity bucket (always included). The
+        # PyramidInfer decode state's row count is bucket-dependent
+        # (pyramid.decode_buffer_rows), so that method admits at the single
+        # capacity bucket.
+        if self.method == Method.PYRAMIDINFER:
+            self.buckets = (bucket,)
+        else:
+            self.buckets = tuple(
+                sorted({b for b in self.ecfg.prefill_buckets if b < bucket} | {bucket})
+            )
+
+        if self.method == Method.GEMFILTER:
+            # the shared decode cache holds gemfilter's reduced PASS-2 prompt
+            # (engine.gemfilter.filter_capacity of the largest bucket), decoded
+            # with FullKV semantics — the Engine's pass-2 path
+            from fastkv_tpu.engine import gemfilter
+
+            self._decode_mcfg = dataclasses.replace(mcfg, method=Method.FULLKV)
+            cap = gemfilter.filter_capacity(mcfg, bucket, self.ecfg.capacity_align)
+            self.shapes = prefill_mod.plan_shapes(cfg, self._decode_mcfg, self.ecfg, cap)
+        else:
+            self._decode_mcfg = mcfg
+            self.shapes = prefill_mod.plan_shapes(cfg, mcfg, self.ecfg, bucket)
+
+        ch = cache_heads(self._decode_mcfg.method, cfg)
         self.cache = empty_cache(
             cfg.num_layers, max_batch, ch, self.shapes.total_capacity,
             cfg.head_dim, dtype=jnp.dtype(cfg.dtype), kv_int8=self.ecfg.kv_int8,
         )
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding
+
+            from fastkv_tpu.parallel.sharding import cache_pspec
+
+            spec = cache_pspec(quantized=self.ecfg.kv_int8)
+            self.cache = KVCache(*(
+                jax.device_put(x, NamedSharding(self.mesh, s))
+                if x is not None else None
+                for x, s in zip(self.cache, spec)
+            ))
         self.tok = np.zeros(max_batch, np.int32)
         self.pos = np.zeros(max_batch, np.int32)
         self.steps = np.zeros(max_batch, np.int32)
@@ -107,40 +179,139 @@ class Scheduler:
         self.finished: List[Request] = []
         self._next_id = 0
         # event log (chunk/decode/finish order) — asserted by the chunked-
-        # admission interleaving test; negligible cost otherwise
-        self.events: List[tuple] = []
+        # admission interleaving test. Bounded: run() clears it at entry and
+        # the deque caps within-run growth, so a long-lived serve_worker that
+        # calls run() in an unbounded loop cannot leak one tuple per token.
+        self.events: "collections.deque[tuple]" = collections.deque(
+            maxlen=events_cap
+        )
 
         # chunked admission (engine.chunked): bounds running requests' max
         # inter-token stall to one chunk + finish instead of one full prefill
-        self._chunk_progs = None
+        self._chunk_progs: Dict[int, Any] = {}
+        self._chunk_ok = False
         self._adm = None
         if self.ecfg.prefill_chunk:
             from fastkv_tpu.engine import chunked
 
-            if chunked.supported(mcfg):
-                self._chunk_progs = chunked.make_programs(
-                    cfg, mcfg, self.ecfg, self.shapes, self.ecfg.prefill_chunk
-                )
+            self._chunk_ok = chunked.supported(mcfg)
 
-        self._prefill = jax.jit(
-            lambda p, t, n: prefill_mod.prefill(
-                p, cfg, mcfg, self.ecfg, self.shapes, t, n
+        if self.method == Method.PYRAMIDINFER:
+            from fastkv_tpu.engine import pyramid
+
+            rr = pyramid.decode_buffer_rows(mcfg, bucket)
+            L = cfg.num_layers
+            self.pstate = pyramid.PyramidDecodeState(
+                probs=jnp.zeros(
+                    (L, max_batch, rr, self.shapes.total_capacity), jnp.float32
+                ),
+                row_stamp=jnp.full((L, max_batch, rr), -(2**30), jnp.int32),
+                past=jnp.zeros((L, max_batch), jnp.int32),
+                live=jnp.zeros((L, max_batch), jnp.int32),
             )
-        )
-        self._step = jax.jit(
-            lambda p, c, tok, pos, slots: decode_mod.decode_step(
-                p, cfg, mcfg, c, tok, pos, slots,
-                use_pallas=self.ecfg.decode_pallas,
-            ),
-            donate_argnums=(1,),
-        )
+            # per-slot frozen recent length / original prompt length the
+            # pyramid decode step consumes (engine.pyramid.decode_step)
+            self.n_orig = np.zeros(max_batch, np.int32)
+            self.r_dyn = np.zeros(max_batch, np.int32)
+            self._step = jax.jit(
+                lambda p, c, ps, tok, pos, slots, stamps, n_orig, r_dyn:
+                pyramid.decode_step(
+                    p, cfg, mcfg, c, ps, tok, pos, slots, stamps, n_orig, r_dyn
+                ),
+                donate_argnums=(1, 2),
+            )
+        else:
+            self._step = jax.jit(
+                lambda p, c, tok, pos, slots: decode_mod.decode_step(
+                    p, cfg, self._decode_mcfg, c, tok, pos, slots,
+                    use_pallas=self.ecfg.decode_pallas,
+                ),
+                donate_argnums=(1,),
+            )
+
+        self._prefill_progs: Dict[int, Any] = {}
+
+    # -- compiled-program factories ---------------------------------------------------
+
+    def _mesh_ctx(self):
+        return jax.set_mesh(self.mesh) if self.mesh is not None else contextlib.nullcontext()
+
+    def _prefill_for(self, bucket: int):
+        """Admission program for one bucket (lazily jitted, cached)."""
+        if bucket not in self._prefill_progs:
+            cfg, mcfg, ecfg = self.cfg, self.mcfg, self.ecfg
+            if self.method == Method.GEMFILTER:
+                from fastkv_tpu.engine import gemfilter
+
+                cap = gemfilter.filter_capacity(mcfg, bucket, ecfg.capacity_align)
+                shapes_b = prefill_mod.plan_shapes(cfg, self._decode_mcfg, ecfg, cap)
+
+                def run(p, tokens, n):
+                    new_toks, new_count, _ = gemfilter.select_tokens(
+                        p, cfg, mcfg, ecfg, tokens, n, cap
+                    )
+                    logits, cache1 = prefill_mod.prefill(
+                        p, cfg, self._decode_mcfg, ecfg, shapes_b,
+                        new_toks, new_count, pcfg=self.pcfg, mesh=self.mesh,
+                    )
+                    return logits, cache1, new_count
+
+            elif self.method == Method.PYRAMIDINFER:
+                from fastkv_tpu.engine import pyramid
+
+                shapes_b = prefill_mod.plan_shapes(cfg, mcfg, ecfg, bucket)
+
+                def run(p, tokens, n):
+                    return pyramid.prefill(
+                        p, cfg, mcfg, ecfg, shapes_b, tokens, n,
+                        want_decode_state=True,
+                    )
+
+            else:
+                shapes_b = prefill_mod.plan_shapes(cfg, mcfg, ecfg, bucket)
+
+                def run(p, tokens, n):
+                    return prefill_mod.prefill(
+                        p, cfg, mcfg, ecfg, shapes_b, tokens, n,
+                        pcfg=self.pcfg, mesh=self.mesh,
+                    )
+
+            self._prefill_progs[bucket] = jax.jit(run)
+        return self._prefill_progs[bucket]
+
+    def _chunk_progs_for(self, bucket: int):
+        """Chunk programs for one bucket; None when the chunk doesn't tile it."""
+        if bucket not in self._chunk_progs:
+            from fastkv_tpu.engine import chunked
+
+            chunk = self.ecfg.prefill_chunk
+            if bucket % chunk:
+                self._chunk_progs[bucket] = None
+            else:
+                shapes_b = prefill_mod.plan_shapes(self.cfg, self.mcfg, self.ecfg, bucket)
+                self._chunk_progs[bucket] = chunked.make_programs(
+                    self.cfg, self.mcfg, self.ecfg, shapes_b, chunk
+                )
+        return self._chunk_progs[bucket]
 
     # -- public API -----------------------------------------------------------------
 
     def submit(self, prompt: Sequence[int], max_new_tokens: Optional[int] = None,
                eos_ids: Sequence[int] = ()) -> int:
+        prompt = list(prompt)
+        cap = self.buckets[-1]
+        if len(prompt) > cap:
+            if self.overlength == "reject":
+                raise ValueError(
+                    f"prompt length {len(prompt)} exceeds the scheduler's "
+                    f"largest bucket {cap} (overlength='reject')"
+                )
+            # reference-protocol middle truncation: keep the first and last
+            # halves of the budget (eval/run_longbench.py:201-207)
+            half = cap // 2
+            prompt = prompt[:half] + prompt[len(prompt) - (cap - half):]
         req = Request(
-            req_id=self._next_id, prompt=list(prompt),
+            req_id=self._next_id, prompt=prompt,
             max_new_tokens=max_new_tokens or self.max_new, eos_ids=eos_ids,
             submitted_at=time.perf_counter(),
         )
@@ -162,16 +333,33 @@ class Scheduler:
         clock. When nothing is running, all free slots admit immediately
         (pure-admission phase: there is nobody to stall).
         """
-        while self.queue or self.active.any() or self._adm is not None:
+        self.events.clear()
+        return self._run_loop()
+
+    def _run_loop(self, intake=None) -> List[Request]:
+        """Core drain loop. `intake` (streaming dispatch, engine.dispatch) is
+        called once per iteration and may submit new requests; when provided,
+        the loop also keeps running while intake reports more work pending."""
+        while True:
+            more = intake() if intake is not None else False
+            if not (self.queue or self.active.any() or self._adm is not None or more):
+                break
             if self._adm is not None:
                 self._advance_admission()
-            elif self.active.any() and self._chunk_progs is not None:
+            elif self.active.any() and self._chunk_ok and self.queue:
                 self._start_chunked_admission()
             else:
                 # idle (nobody to stall) or no chunk programs: monolithic
                 self._admit(limit=1 if self.active.any() else self.max_batch)
             if self.active.any():
-                self._decode_one_step()
+                # chunked admission amortization: K decode steps per chunk
+                # shrink the share of inter-token gaps that pay a chunk
+                # (ROOFLINE §7); plain admission keeps the 1:1 step
+                k = self.ecfg.chunk_decode_steps if self._adm is not None else 1
+                for _ in range(max(k, 1)):
+                    if not self.active.any():
+                        break
+                    self._decode_one_step()
         out, self.finished = self.finished, []
         return out
 
@@ -186,26 +374,61 @@ class Scheduler:
                 break
             admitted += 1
             req = self.queue.pop(0)
-            tokens = np.zeros((1, self.bucket), np.int32)
-            n = min(len(req.prompt), self.bucket)
-            tokens[0, :n] = req.prompt[:n]
-            logits, cache1 = self._prefill(
-                self.params, jnp.asarray(tokens), jnp.asarray([n], jnp.int32)
-            )
+            n = len(req.prompt)
+            bucket = pick_bucket(max(n, 1), self.buckets)
+            tokens = np.zeros((1, bucket), np.int32)
+            tokens[0, :n] = req.prompt
+            prog = self._prefill_for(bucket)
+            pstate1 = None
+            with self._mesh_ctx():
+                out = prog(
+                    self.params, jnp.asarray(tokens), jnp.asarray([n], jnp.int32)
+                )
+            if self.method == Method.GEMFILTER:
+                logits, cache1, new_count = out
+                n = int(np.asarray(new_count)[0])  # pass-2 prompt length
+            elif self.method == Method.PYRAMIDINFER:
+                logits, cache1, pstate1 = out
+            else:
+                logits, cache1 = out
             self.events.append(("prefill", req.req_id))
-            self._install(slot, req, n, logits, cache1)
+            self._install(slot, req, n, logits, cache1, pstate1)
 
-    def _install(self, slot: int, req: Request, n: int, logits, cache1) -> None:
-        """Write a prefilled request's cache/state into its decode slot."""
+    def _install(self, slot: int, req: Request, n: int, logits, cache1,
+                 pstate1=None) -> None:
+        """Write a prefilled request's cache/state into its decode slot.
+
+        `n` is the effective prompt length decode positions continue from (the
+        ORIGINAL length for most methods; gemfilter's reduced pass-2 count)."""
         first = int(np.asarray(jnp.argmax(logits[0])))
         req.prefill_done_at = time.perf_counter()
         req.tokens = [first]
+        # a smaller-bucket admission produced a shorter cache: pad its slot
+        # axis up to the shared capacity (the gap slots stay invalid-masked;
+        # decode writes land at the shared prefill_capacity offset)
+        pad = self.shapes.total_capacity - cache1.k.shape[3]
+        if pad:
+            cache1 = jax.tree_util.tree_map(
+                lambda x: jnp.pad(
+                    x, [(0, 0)] * 3 + [(0, pad)] + [(0, 0)] * (x.ndim - 4)
+                ),
+                cache1,
+            )
         # install the request's compressed cache into its slot (covers the
         # int8 scale planes when present — tree_map skips None fields)
-        self.cache = jax.tree_util.tree_map(
-            lambda dst, src: dst.at[:, slot].set(src[:, 0]),
-            self.cache, cache1,
-        )
+        with self._mesh_ctx():
+            self.cache = jax.tree_util.tree_map(
+                lambda dst, src: dst.at[:, slot].set(src[:, 0]),
+                self.cache, cache1,
+            )
+            if pstate1 is not None:
+                self.pstate = jax.tree_util.tree_map(
+                    lambda dst, src: dst.at[:, slot].set(src[:, 0]),
+                    self.pstate, pstate1,
+                )
+        if self.method == Method.PYRAMIDINFER:
+            self.n_orig[slot] = n
+            self.r_dyn[slot] = int(n * self.mcfg.pyramid_recent_ratio)
         self.tok[slot] = first
         self.pos[slot] = n
         self.steps[slot] = 0
@@ -223,16 +446,23 @@ class Scheduler:
         free = [s for s in range(self.max_batch) if not self.active[s]]
         if not free:
             return
+        n = len(self.queue[0].prompt)
+        progs = self._chunk_progs_for(pick_bucket(max(n, 1), self.buckets)) if n else None
+        if progs is None:
+            # empty prompt (the chunk pipeline never captures h_last — ADVICE
+            # r4) or a bucket the chunk size doesn't tile: admit monolithically
+            self._admit(limit=1)
+            return
         req = self.queue.pop(0)
-        self._adm = chunked.start_admission(
-            self._chunk_progs, free[0], req, req.prompt
-        )
+        self._adm = chunked.start_admission(progs, free[0], req, req.prompt)
+        self._adm.progs = progs
 
     def _advance_admission(self) -> None:
         from fastkv_tpu.engine import chunked
 
         adm = self._adm
-        out = chunked.advance(self._chunk_progs, self.params, adm)
+        with self._mesh_ctx():
+            out = chunked.advance(adm.progs, self.params, adm)
         self.events.append(("chunk", adm.req.req_id))
         if out is None:
             return
@@ -243,10 +473,19 @@ class Scheduler:
 
     def _decode_one_step(self) -> None:
         slots = self.shapes.prefill_capacity + self.steps
-        logits, self.cache = self._step(
-            self.params, self.cache, jnp.asarray(self.tok), jnp.asarray(self.pos),
-            jnp.asarray(slots, jnp.int32),
-        )
+        with self._mesh_ctx():
+            if self.method == Method.PYRAMIDINFER:
+                logits, self.cache, self.pstate = self._step(
+                    self.params, self.cache, self.pstate, jnp.asarray(self.tok),
+                    jnp.asarray(self.pos), jnp.asarray(slots, jnp.int32),
+                    jnp.asarray(self.steps + 1, jnp.int32),
+                    jnp.asarray(self.n_orig), jnp.asarray(self.r_dyn),
+                )
+            else:
+                logits, self.cache = self._step(
+                    self.params, self.cache, jnp.asarray(self.tok),
+                    jnp.asarray(self.pos), jnp.asarray(slots, jnp.int32),
+                )
         nxt = np.asarray(jnp.argmax(logits, axis=-1)).astype(np.int32)
         # timestamp AFTER the argmax fetch: the fetch forces step completion,
         # so deltas between consecutive decode events are the inter-token gaps

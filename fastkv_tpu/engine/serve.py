@@ -119,11 +119,18 @@ class FrontDoor:
         self,
         schedulers: Sequence[Scheduler],
         max_readmissions: int = 2,
+        drain_timeout_s: Optional[float] = None,
     ):
         if not schedulers:
             raise ValueError("need at least one scheduler replica")
         self.replicas = [_Replica(i, s) for i, s in enumerate(schedulers)]
         self.max_readmissions = max_readmissions
+        # Bound on one drain round: a replica whose drain thread has not
+        # returned after this long is declared WEDGED (SURVEY §5 failure
+        # detection — the hung-not-dead case: a TPU dispatch that never
+        # completes keeps the thread alive forever) and its requests re-admit
+        # to survivors. None = wait indefinitely (trusted local replicas).
+        self.drain_timeout_s = drain_timeout_s
         self.tickets: List[_Ticket] = []
         self._next = 0
 
@@ -172,10 +179,28 @@ class FrontDoor:
                     results[r.idx] = r.drain(fault)
 
                 th = threading.Thread(target=work, daemon=True)
-                threads.append(th)
+                threads.append((th, r))
                 th.start()
-            for th in threads:
-                th.join()
+            deadline = (
+                None if self.drain_timeout_s is None
+                else time.monotonic() + self.drain_timeout_s
+            )
+            for th, r in threads:
+                th.join(
+                    None if deadline is None
+                    else max(deadline - time.monotonic(), 0.0)
+                )
+                if th.is_alive():
+                    # wedged replica: the drain thread never returned within
+                    # the bound (hung device, not a raised error). Mark it
+                    # dead so its requests re-admit below; the zombie thread
+                    # writes into THIS round's results dict at most — reads
+                    # below see either nothing or a completed subset.
+                    r.alive = False
+                    r.error = TimeoutError(
+                        f"replica {r.idx} drain exceeded "
+                        f"{self.drain_timeout_s}s (wedged)"
+                    )
             fault = None  # one-shot injection
 
             orphans: List[_Ticket] = []
@@ -230,6 +255,10 @@ def local_front_door(
     mcfg,
     ecfg=None,
     n_replicas: int = 1,
+    logger=None,  # Optional[utils.profiling.PhaseLogger]: per-request JSONL
+    #   (queue/TTFT/TPOT) emitted as each request retires — SURVEY §5
+    #   observability; tests/test_serve.py asserts the records
+    drain_timeout_s: Optional[float] = None,
     **sched_kw,
 ) -> FrontDoor:
     """Build a front door over n local Scheduler replicas (single process).
@@ -238,6 +267,7 @@ def local_front_door(
     this process's shard of the replicas; requests are partitioned per host.
     """
     scheds = [
-        Scheduler(params, cfg, mcfg, ecfg, **sched_kw) for _ in range(n_replicas)
+        Scheduler(params, cfg, mcfg, ecfg, logger=logger, **sched_kw)
+        for _ in range(n_replicas)
     ]
-    return FrontDoor(scheds)
+    return FrontDoor(scheds, drain_timeout_s=drain_timeout_s)

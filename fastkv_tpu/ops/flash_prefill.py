@@ -149,11 +149,18 @@ def _kernel(
         p = jnp.exp(s - m_new)
         if not (causal_skip and sliding_window is None):
             # exp garbage (=1.0) appears only on rows whose running max is
-            # still NEG_INF — impossible in the pure-causal layout, where every
-            # valid (and padded, pq=0) row sees key 0 in its first visited
-            # block; possible for ring 'full' chunks (all keys may be after
-            # the query) and under a sliding window (a row's visible window
-            # may start blocks later), so those paths keep the correction.
+            # still NEG_INF — impossible for VALID rows in the pure-causal
+            # layout, where every valid row sees at least itself; possible for
+            # ring 'full' chunks (all keys may be after the query) and under a
+            # sliding window (a row's visible window may start blocks later),
+            # so those paths keep the correction.
+            # INVARIANT (pure-causal path): an INVALID row CAN see zero keys —
+            # e.g. a padded row (pq=0) in post-TSP segment B where the
+            # smallest kept key position is > 0 — and then carries finite
+            # garbage (~mean of V) where the XLA fallback writes 0. Every
+            # caller must mask consumed rows by its validity mask; the engine
+            # does (tsp_gather/_gather_cache/last-valid-token unembed all mask
+            # by `valid`), asserted in tests/test_flash_kernel.py.
             p = jnp.where(mask, p, 0.0)
 
         corr = jnp.exp(m_prev - m_new)  # [bq, 1]

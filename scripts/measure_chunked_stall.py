@@ -9,7 +9,9 @@ prefill_chunk, the stall is bounded by one chunk + the compression finish.
 Gaps are deltas between consecutive decode-step completions (the scheduler
 timestamps each decode event after its argmax fetch, which forces the step).
 
-Usage: timeout 3000 python scripts/measure_chunked_stall.py [bucket] [chunk]
+Usage: timeout 3000 python scripts/measure_chunked_stall.py [bucket] [chunk] [K]
+
+K = EngineConfig.chunk_decode_steps (decode steps per chunk; default 1).
 """
 
 import sys
@@ -20,7 +22,7 @@ sys.path.insert(0, "/root/repo")
 import numpy as np
 
 
-def run_mode(params, cfg, chunk, bucket, genlen=96):
+def run_mode(params, cfg, chunk, bucket, genlen=96, k_steps=1):
     from fastkv_tpu.core.config import EngineConfig, Method, MethodConfig
     from fastkv_tpu.engine.scheduler import Scheduler
 
@@ -31,6 +33,7 @@ def run_mode(params, cfg, chunk, bucket, genlen=96):
     )
     ecfg = EngineConfig(
         prefill_buckets=(bucket,), use_pallas=True, prefill_chunk=chunk,
+        chunk_decode_steps=k_steps,
     )
     sched = Scheduler(params, cfg, mcfg, ecfg, max_batch=2, bucket=bucket,
                       max_new_tokens=genlen)
@@ -46,7 +49,9 @@ def run_mode(params, cfg, chunk, bucket, genlen=96):
             sched._decode_one_step()
         t0 = time.perf_counter()
         b = sched.submit(list(rng.integers(0, cfg.vocab_size, bucket)), 8)
-        done = {r.req_id: r for r in sched.run()}
+        # _run_loop (not run(), which clears the event log): gaps must span
+        # the pre-admission decode steps above AND the drain
+        done = {r.req_id: r for r in sched._run_loop()}
         total = time.perf_counter() - t0
         assert set(done) == {a, b}
         if phase == "warm":
@@ -55,6 +60,8 @@ def run_mode(params, cfg, chunk, bucket, genlen=96):
                  for t in rest]
         gaps = np.diff(times)
         label = f"chunk={chunk}" if chunk else "monolithic"
+        if chunk and k_steps != 1:
+            label += f" K={k_steps}"
         print(
             f"{label:>12}: decode steps={len(times)}  gap mean={gaps.mean()*1e3:.0f}ms "
             f"p50={np.percentile(gaps,50)*1e3:.0f}ms p99={np.percentile(gaps,99)*1e3:.0f}ms "
@@ -68,6 +75,7 @@ def run_mode(params, cfg, chunk, bucket, genlen=96):
 def main():
     bucket = int(sys.argv[1]) if len(sys.argv) > 1 else 32768
     chunk = int(sys.argv[2]) if len(sys.argv) > 2 else 4096
+    k_steps = int(sys.argv[3]) if len(sys.argv) > 3 else 1
 
     from fastkv_tpu.core.config import MODEL_PRESETS
     from fastkv_tpu.models.llama import init_params_int8_on_device
@@ -83,7 +91,7 @@ def main():
     modes = [] if os.environ.get("STALL_SKIP_MONO") == "1" else [None]
     modes.append(chunk)
     for mode in modes:
-        run_mode(params, cfg, mode, bucket)
+        run_mode(params, cfg, mode, bucket, k_steps=k_steps if mode else 1)
 
 
 if __name__ == "__main__":

