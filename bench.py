@@ -140,6 +140,50 @@ def bench_method(method_name, cfg, params, ctx, genlen, ecfg_kw, prefill_only=Fa
     }
 
 
+def _fusion_ab(cfg, params, ctx, genlen, ecfg_kw, rounds=3):
+    """Interleaved fused-vs-unfused fastkv prefill timing at one context.
+
+    Compiles both programs up front, then alternates timed runs
+    (fused, unfused) x rounds so slow-start/host-state effects hit both arms
+    equally. Returns (fused_mean_s, unfused_mean_s)."""
+    from fastkv_tpu.core.config import EngineConfig, Method, MethodConfig
+    from fastkv_tpu.engine import prefill as prefill_mod
+    from fastkv_tpu.utils.timing import force
+
+    mcfg = MethodConfig(
+        method=Method.FASTKV, eviction_mode="proportional", retain_rate=0.1,
+        tsp_rate=0.2,
+        tsp_idx=min(max(1, cfg.num_layers // 2 - 1), cfg.num_layers - 2),
+        window_size=8, kernel_size=7, pooling="maxpool",
+    )
+    tokens = jnp.ones((1, ctx), jnp.int32)
+    n_true = jnp.array([ctx], jnp.int32)
+    progs = {}
+    for arm, fuse in (("fused", True), ("unfused", False)):
+        ecfg = EngineConfig(
+            prefill_buckets=(ctx,), max_new_tokens=genlen,
+            **{**ecfg_kw, "fuse_window_scores": fuse},
+        )
+        shapes = prefill_mod.plan_shapes(cfg, mcfg, ecfg, ctx)
+        progs[arm] = jax.jit(
+            lambda p, t, n, ecfg=ecfg, shapes=shapes: prefill_mod.prefill(
+                p, cfg, mcfg, ecfg, shapes, t, n
+            )
+        )
+        logits, cache = progs[arm](params, tokens, n_true)  # compile+warm
+        force(logits)
+        del cache
+    times = {"fused": [], "unfused": []}
+    for _ in range(rounds):
+        for arm in ("fused", "unfused"):
+            t0 = time.perf_counter()
+            logits, cache = progs[arm](params, tokens, n_true)
+            force(logits)
+            times[arm].append(time.perf_counter() - t0)
+            del cache
+    return float(np.mean(times["fused"])), float(np.mean(times["unfused"]))
+
+
 def run_rung(ctx: int) -> None:
     """Run both methods at one context length and print the JSON line.
 
@@ -229,18 +273,17 @@ def run_rung(ctx: int) -> None:
             # EngineConfig.fuse_window_scores defaults to False (the fusion
             # measured as a loss, ROOFLINE.md §3) — the fused arm must opt in
             # explicitly or this A/B times two identical unfused programs.
-            fused = bench_method(
-                "fastkv", cfg, params, ab_ctx, genlen,
-                {**ecfg_kw, "fuse_window_scores": True}, prefill_only=True,
-            )
-            unfused = bench_method(
-                "fastkv", cfg, params, ab_ctx, genlen,
-                {**ecfg_kw, "fuse_window_scores": False}, prefill_only=True,
+            # Arms are INTERLEAVED (fused, unfused, fused, ...): this host's
+            # documented first-measured-runs-~25%-slower effect (ROOFLINE §10)
+            # would otherwise bias a fixed-order A/B at the few-percent level
+            # the comparison is about (VERDICT r4 weak #7).
+            fused_t, unfused_t = _fusion_ab(
+                cfg, params, ab_ctx, genlen, ecfg_kw, rounds=3
             )
             log(
-                f"fusion A/B at ctx={ab_ctx}: fused prefill {fused['prefill_s']*1e3:.1f}ms "
-                f"vs unfused {unfused['prefill_s']*1e3:.1f}ms "
-                f"({unfused['prefill_s']/fused['prefill_s']:.3f}x gain from fusion)"
+                f"fusion A/B at ctx={ab_ctx} (interleaved, n=3): fused prefill "
+                f"{fused_t*1e3:.1f}ms vs unfused {unfused_t*1e3:.1f}ms "
+                f"({unfused_t/fused_t:.3f}x gain from fusion)"
             )
         except Exception as e:  # never lose the headline JSON to the A/B
             log(f"fusion A/B failed: {type(e).__name__}: {e}")

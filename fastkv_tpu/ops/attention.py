@@ -150,6 +150,7 @@ def h2o_scores(
     n_true: jnp.ndarray,
     window_size: int,
     row_block: int = 2048,
+    pad_to: Optional[int] = None,
 ) -> jnp.ndarray:
     """H2O accumulated attention mass, chunked to O(s) memory.
 
@@ -161,11 +162,33 @@ def h2o_scores(
     never materializes s^2 (the reference caps H2O at 8K for this reason,
     eval/run_longbench.py:117-119).
 
+    The s=8192 bucket shape hits an XLA/Mosaic schedule pathology on v5e:
+    measured 801 ms there for EVERY row_block in {512..4096} and every n,
+    vs 31 ms at s=4096, 166 ms at s=16384 and 588 ms at s=32768
+    (scripts/probe_h2o_8k.py; ROOFLINE.md §9) — ~30x off the logit-traffic
+    bound, at exactly the reference's canonical H2O operating point (capped
+    at 7950 tokens -> bucket 8192). Workaround: compute in a 16384-wide
+    padded shape (rows beyond sq are masked queries, columns beyond sk are
+    invalid keys — both contribute exactly 0 mass) and slice back. 2x the
+    nominal column work, 4.8x faster wall clock. `pad_to` overrides the
+    automatic s==8192 gate (0 disables).
+
     Returns scores [b, h, s_k] fp32; invalid/query-padding rows contribute 0.
     """
     b, h, sq, d = q.shape
     scale = d**-0.5
     sk = k.shape[2]
+    if pad_to is None and sk == 8192 and sq == 8192:
+        pad_to = 16384
+    if pad_to and pad_to > sk:
+        extra = pad_to - sk
+        out = h2o_scores(
+            jnp.pad(q, ((0, 0), (0, 0), (0, extra), (0, 0))),
+            jnp.pad(k, ((0, 0), (0, 0), (0, extra), (0, 0))),
+            jnp.pad(k_valid, ((0, 0), (0, extra))),
+            n_true, window_size, row_block, pad_to=0,
+        )
+        return out[..., :sk]
     num_blocks = (sq + row_block - 1) // row_block
     pad = num_blocks * row_block - sq
     if pad:

@@ -212,6 +212,44 @@ def test_scheduler_interleaves_decode_between_chunks(setup):
             assert gap <= 1, ev
 
 
+def test_chunk_decode_steps_amortization(setup):
+    """chunk_decode_steps=K runs K decode steps per admission chunk (only
+    ~1/K of a running request's inter-token gaps pay a chunk — ROOFLINE §7),
+    with unchanged tokens."""
+    cfg, params = setup
+    mcfg = mk_mcfg(Method.FASTKV)
+    rng = np.random.default_rng(12)
+    prompts = [list(rng.integers(0, cfg.vocab_size, n)) for n in (100, 230)]
+
+    def run(k):
+        ecfg = EngineConfig(prefill_chunk=64, chunk_decode_steps=k, **ECFG_KW)
+        sched = Scheduler(params, cfg, mcfg, ecfg, max_batch=2, bucket=256,
+                          max_new_tokens=48)
+        sched.submit(prompts[0], max_new_tokens=48)
+        sched.submit(prompts[1], max_new_tokens=4)
+        done = {r.req_id: r.tokens for r in sched.run()}
+        return done, list(sched.events)
+
+    ref, ev1 = run(1)
+    got, ev3 = run(3)
+    assert got == ref  # tokens invariant to the interleave ratio
+
+    def decode_runs_between_chunks(ev):
+        """Lengths of consecutive-decode runs strictly between chunk events."""
+        runs, cur, seen_chunk = [], 0, False
+        for e in ev:
+            if e[0] == "chunk":
+                if seen_chunk:
+                    runs.append(cur)
+                cur, seen_chunk = 0, True
+            elif e[0] == "decode" and seen_chunk:
+                cur += 1
+        return runs
+
+    assert all(r == 1 for r in decode_runs_between_chunks(ev1)), ev1
+    assert all(r == 3 for r in decode_runs_between_chunks(ev3)), ev3
+
+
 def test_chunked_admission_respects_unsupported_method(setup):
     """H2O falls back to monolithic admission (needs full attention mass)."""
     cfg, params = setup

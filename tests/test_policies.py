@@ -234,6 +234,28 @@ def test_h2o_keep_matches_reference(n_true, bucket):
         assert_topk_equivalent(score_ref[h], ours[h], ref_idx[h])
 
 
+def test_h2o_scores_padded_shape_equivalent():
+    """The 8192-bucket XLA-pathology workaround (ops.attention.h2o_scores
+    pad_to, ROOFLINE §9) computes in a wider padded shape: padded query rows
+    and key columns must contribute exactly zero mass, so scores match the
+    unpadded computation to fp32 reduction-order noise and the top-k keep-set
+    is unchanged."""
+    n_true, bucket = 100, 128
+    window = 8
+    q, k = make_qk(n_true, seed=11)
+    _, valid = padded_state(n_true, bucket)
+    pad = bucket - n_true
+    qp = jnp.pad(jnp.asarray(q), ((0, 0), (0, 0), (0, pad), (0, 0)))
+    kp = jnp.pad(jnp.asarray(k), ((0, 0), (0, 0), (0, pad), (0, 0)))
+    n = jnp.array([n_true], jnp.int32)
+    base = att.h2o_scores(qp, kp, valid, n, window, row_block=16)
+    padded = att.h2o_scores(qp, kp, valid, n, window, row_block=16, pad_to=256)
+    assert padded.shape == base.shape
+    np.testing.assert_allclose(
+        np.asarray(padded), np.asarray(base), rtol=1e-6, atol=1e-6
+    )
+
+
 def test_streamingllm_proportional_keep():
     """proportional: 4 sinks + last (cap-4) tokens, cap = floor(n * retain)."""
     n_true, bucket = 200, 256
