@@ -128,11 +128,16 @@ def test_gemfilter_scheduler_differs_from_fullkv(setup):
     assert gem != full  # retain 0.2 of a 220-token prompt must change decode
 
 
-def test_scheduler_bucket_ladder_parity(setup):
+@pytest.mark.parametrize("ladder_method", [None, Method.GEMFILTER])
+def test_scheduler_bucket_ladder_parity(setup, ladder_method):
     """Admissions pick the smallest ladder bucket that fits (like
     Engine.generate) and the padded install into the larger shared cache is
-    token-exact vs a single-bucket scheduler."""
+    token-exact vs Engine.generate — including gemfilter, whose pass-2
+    capacity is derived from the per-admission bucket."""
     cfg, params, mcfg, _ = setup
+    if ladder_method is not None:
+        mcfg = MethodConfig(method=ladder_method, eviction_mode="proportional",
+                            retain_rate=0.3, filter_idx=1)
     ecfg = EngineConfig(prefill_buckets=(64, 128, 256), use_pallas=False,
                         capacity_align=8)
     rng = np.random.default_rng(9)
