@@ -182,6 +182,29 @@ def test_dispatch_poison_request_capped(stack):
     coord.close()
 
 
+def test_dispatch_close_releases_polling_workers(stack):
+    """close() after a wait_results failure must release workers stuck in the
+    wait-poll loop (they get 'done' on their next get) instead of leaving
+    them polling forever (ADVICE r4)."""
+    import threading
+
+    from fastkv_tpu.engine.dispatch import Coordinator, serve_worker
+
+    coord = Coordinator()
+    # nothing submitted, not sealed: a worker would poll 'wait' forever
+    t = threading.Thread(
+        target=serve_worker, args=(coord.address, make_sched(stack)),
+        kwargs=dict(name="poller", batch=1, poll_s=0.02),
+    )
+    t.start()
+    import time
+
+    time.sleep(0.3)  # worker is in its wait-poll loop
+    coord.close()
+    t.join(timeout=30)
+    assert not t.is_alive(), "worker must exit after coordinator close()"
+
+
 def test_dispatch_hung_worker_lease_readmits(stack):
     """SURVEY §5 failure-detection: 'missed-heartbeat detection via
     coordinator'. A worker that HANGS holding tickets — socket open, process
