@@ -255,12 +255,16 @@ def flash_attention(
     positions: jnp.ndarray,  # [b, s] int32 original positions (ascending prefix)
     count: jnp.ndarray,  # [b] int32 number of valid tokens
     sliding_window: Optional[int] = None,
-    # None = head_dim-adaptive default: 2048x1024 at d<=64 (measured fastest
-    # on v5e at 131072: 66.1 vs 63.1 TF/s for 1024^2; 2048^2 and 4096x1024
-    # VMEM-fail — scripts/sweep_flash_blocks.py, ROOFLINE.md §6) but 1024^2 at
-    # d=128, where the taller q block's scoped-VMEM stack measures 23.4M > the
-    # 16M limit (observed on-chip, scripts/tpu_kernel_parity.py). Fused window
-    # scoring requires square blocks; the wrapper clamps to min(bq, bk).
+    # None = 2048x1024 default (measured fastest on v5e: d=64 s=131072 66.1
+    # vs 63.1 TF/s for 1024^2; d=128 s=65536 120.6 vs 114.9 and s=131072
+    # 131.4 vs 125.3 TF/s — +4.7-4.9%; 2048^2 and 4096x1024 VMEM-fail —
+    # scripts/sweep_flash_blocks.py, ROOFLINE §6) EXCEPT the d=128
+    # sliding-window variant, which stays at 1024^2: its extra mask term +
+    # post-exp correction push the 2048-q-block scoped-VMEM stack to 23.38M >
+    # the 16M limit (reproduced on-chip via scripts/tpu_kernel_parity.py —
+    # this is the failure round 4 attributed to d=128 generally; plain-causal
+    # d=128 compiles and wins at 2048). Fused window scoring requires square
+    # blocks; the wrapper clamps to min(bq, bk).
     block_q: Optional[int] = None,
     block_k: Optional[int] = None,
     pattern: str = "causal",  # 'causal' (local diagonal skip) | 'full' (no skip;
@@ -289,7 +293,7 @@ def flash_attention(
     sk = k.shape[2]
     g = h // kh
     if block_q is None:
-        block_q = 2048 if d <= 64 else 1024
+        block_q = 1024 if (d > 64 and sliding_window is not None) else 2048
     if block_k is None:
         block_k = 1024
     if k_positions is None:
