@@ -79,6 +79,12 @@ class Coordinator:
 
     def __init__(self, host: str = "127.0.0.1", port: int = 0,
                  max_readmissions: int = 2, lease_s: float = 30.0):
+        # lease_s must exceed the worst-case single compiled-program latency
+        # on the workers (one monolithic prefill: ~25 s for 8B at 128K) plus a
+        # first-compile allowance — the heartbeat runs BETWEEN programs, so a
+        # legitimately-busy worker inside one long program sends nothing. An
+        # under-sized lease only costs duplicated work (first result wins),
+        # never correctness.
         self.max_readmissions = max_readmissions
         self.lease_s = lease_s
         self._lock = threading.Condition()
