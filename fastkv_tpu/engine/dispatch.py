@@ -54,13 +54,8 @@ import time
 from typing import Any, Dict, List, Optional, Sequence
 
 
-def _send(sock: socket.socket, obj: Dict[str, Any], lock=None) -> None:
-    data = (json.dumps(obj) + "\n").encode()
-    if lock is None:
-        sock.sendall(data)
-    else:
-        with lock:
-            sock.sendall(data)
+def _send(sock: socket.socket, obj: Dict[str, Any]) -> None:
+    sock.sendall((json.dumps(obj) + "\n").encode())
 
 
 class _LineReader:
@@ -78,21 +73,27 @@ class Coordinator:
     """Rank-0 request queue + result sink for pull-based worker dispatch."""
 
     def __init__(self, host: str = "127.0.0.1", port: int = 0,
-                 max_readmissions: int = 2, lease_s: float = 30.0):
-        # lease_s must exceed the worst-case single compiled-program latency
-        # on the workers (one monolithic prefill: ~25 s for 8B at 128K) plus a
-        # first-compile allowance — the heartbeat runs BETWEEN programs, so a
-        # legitimately-busy worker inside one long program sends nothing. An
-        # under-sized lease only costs duplicated work (first result wins),
-        # never correctness.
+                 max_readmissions: int = 2, lease_s: float = 120.0):
+        # lease_s should exceed the worst-case single compiled-program latency
+        # on the workers (one monolithic prefill: ~25 s for 8B at 128K, plus a
+        # 20-60 s first-compile) — the heartbeat runs BETWEEN programs, so a
+        # legitimately-busy worker inside one long program sends nothing.
+        # Robustness to an under-sized lease: each expiry DOUBLES that
+        # ticket's next lease (so a healthy-but-slow ticket converges instead
+        # of cycling), and expiries track a separate, higher cap than death
+        # re-admissions (an expiry duplicates work — first result wins — but
+        # must not poison the run the way a worker-killing ticket does).
         self.max_readmissions = max_readmissions
         self.lease_s = lease_s
         self._lock = threading.Condition()
         self._queue: List[Dict[str, Any]] = []
         self._outstanding: Dict[int, Dict[str, Any]] = {}  # tid -> ticket
         self._lease: Dict[int, float] = {}  # tid -> monotonic deadline
+        self._owner: Dict[int, int] = {}  # tid -> connection id of the holder
+        self._lease_scale: Dict[int, float] = {}  # tid -> lease multiplier
         self._results: Dict[int, Dict[str, Any]] = {}
         self._readmits: Dict[int, int] = {}
+        self._expiries: Dict[int, int] = {}  # lease-expiry count per ticket
         self._next = 0
         self._sealed = False
         self._closed = False
@@ -157,32 +158,58 @@ class Coordinator:
 
     # -- lease bookkeeping (all called under self._lock) ----------------------
 
-    def _renew_locked(self, assigned: Dict[int, Dict[str, Any]]) -> None:
-        deadline = time.monotonic() + self.lease_s
-        for tid in assigned:
-            if tid in self._lease:
-                self._lease[tid] = deadline
+    def _renew_locked(self, conn_id: int,
+                      assigned: Dict[int, Dict[str, Any]]) -> None:
+        """Renew leases of tickets this connection still OWNS; prune the rest
+        (a lease expiry may have moved a ticket to another worker — renewing
+        or requeuing on the old holder's behalf would corrupt the new
+        holder's lease/readmission state)."""
+        for tid in list(assigned):
+            if self._owner.get(tid) != conn_id:
+                del assigned[tid]  # stale: reassigned or completed elsewhere
+            elif tid in self._lease:
+                self._lease[tid] = (
+                    time.monotonic()
+                    + self.lease_s * self._lease_scale.get(tid, 1.0)
+                )
 
-    def _requeue_locked(self, tid: int, why: str) -> None:
-        """Move an outstanding ticket back to the queue (or fail on the cap)."""
+    def _requeue_locked(self, tid: int, why: str, expiry: bool = False) -> None:
+        """Move an outstanding ticket back to the queue (or fail on the cap).
+
+        `expiry` distinguishes a missed-heartbeat lease expiry (duplicated
+        work at worst: the next lease doubles, and a separate generous cap
+        applies) from a worker DEATH (counts toward max_readmissions — the
+        poison-ticket guard)."""
         it = self._outstanding.pop(tid, None)
         self._lease.pop(tid, None)
+        self._owner.pop(tid, None)
         if it is None or tid in self._results:
             return
-        n = self._readmits.get(tid, 0) + 1
-        if n > self.max_readmissions:
-            self._failed = (
-                f"ticket {tid} exceeded {self.max_readmissions} "
-                f"re-admissions ({why})"
-            )
+        if expiry:
+            self._lease_scale[tid] = 2.0 * self._lease_scale.get(tid, 1.0)
+            n = self._expiries.get(tid, 0) + 1
+            self._expiries[tid] = n
+            cap = 4 * (self.max_readmissions + 1)
+            if n > cap:
+                self._failed = f"ticket {tid} exceeded {cap} lease expiries ({why})"
+                return
         else:
+            n = self._readmits.get(tid, 0) + 1
+            if n > self.max_readmissions:
+                self._failed = (
+                    f"ticket {tid} exceeded {self.max_readmissions} "
+                    f"re-admissions ({why})"
+                )
+                return
             self._readmits[tid] = n
-            self._queue.append(it)
+        self._queue.append(it)
 
     def _reap_expired_locked(self) -> None:
         now = time.monotonic()
         for tid in [t for t, d in self._lease.items() if d < now]:
-            self._requeue_locked(tid, "lease expired: worker stopped heartbeating")
+            self._requeue_locked(
+                tid, "lease expired: worker stopped heartbeating", expiry=True
+            )
         if self._lease or self._queue:
             self._lock.notify_all()
 
@@ -201,6 +228,7 @@ class Coordinator:
     def _handle(self, conn: socket.socket) -> None:
         name = "?"
         assigned: Dict[int, Dict[str, Any]] = {}  # this worker's in-flight
+        conn_id = id(conn)
         reader = _LineReader(conn)
         try:
             while True:
@@ -212,12 +240,12 @@ class Coordinator:
                     name = msg.get("name", "?")
                 elif op == "hb":
                     with self._lock:
-                        self._renew_locked(assigned)
+                        self._renew_locked(conn_id, assigned)
                         self._reap_expired_locked()
                     _send(conn, {"op": "ok"})
                 elif op == "get":
                     with self._lock:
-                        self._renew_locked(assigned)
+                        self._renew_locked(conn_id, assigned)
                         self._reap_expired_locked()
                         if self._closed:
                             _send(conn, {"op": "done"})
@@ -229,11 +257,15 @@ class Coordinator:
                         elif self._queue:
                             items = self._queue[: max(1, int(msg.get("n", 1)))]
                             del self._queue[: len(items)]
-                            deadline = time.monotonic() + self.lease_s
                             for it in items:
-                                self._outstanding[it["tid"]] = it
-                                self._lease[it["tid"]] = deadline
-                                assigned[it["tid"]] = it
+                                tid = it["tid"]
+                                self._outstanding[tid] = it
+                                self._lease[tid] = (
+                                    time.monotonic() + self.lease_s
+                                    * self._lease_scale.get(tid, 1.0)
+                                )
+                                self._owner[tid] = conn_id
+                                assigned[tid] = it
                             _send(conn, {"op": "work", "items": items})
                         elif self._sealed and not self._outstanding and (
                             len(self._results) >= self._next
@@ -243,12 +275,13 @@ class Coordinator:
                             _send(conn, {"op": "wait"})
                 elif op == "result":
                     with self._lock:
-                        self._renew_locked(assigned)
+                        self._renew_locked(conn_id, assigned)
                         for it in msg["items"]:
                             tid = it["tid"]
                             assigned.pop(tid, None)
                             self._outstanding.pop(tid, None)
                             self._lease.pop(tid, None)
+                            self._owner.pop(tid, None)
                             # a re-queued copy may still be waiting: drop it
                             self._queue = [q for q in self._queue
                                            if q["tid"] != tid]
@@ -256,6 +289,7 @@ class Coordinator:
                                 continue  # first result wins (greedy = same)
                             it["worker"] = name
                             it["readmissions"] = self._readmits.get(tid, 0)
+                            it["lease_expiries"] = self._expiries.get(tid, 0)
                             self._results[tid] = it
                         self._lock.notify_all()
         except (OSError, ValueError, json.JSONDecodeError):
@@ -263,10 +297,12 @@ class Coordinator:
         finally:
             conn.close()
             # worker died (or left) with tickets in flight: re-admit those it
-            # still owns (a lease expiry may already have moved some)
+            # still OWNS — a lease expiry may already have moved some to
+            # another worker, and requeuing those would double-count
+            # re-admissions against the new holder (ownership check)
             with self._lock:
                 for tid in assigned:
-                    if tid in self._outstanding:
+                    if tid in self._outstanding and self._owner.get(tid) == conn_id:
                         self._requeue_locked(tid, f"worker {name} disconnected")
                 self._lock.notify_all()
 
@@ -346,8 +382,11 @@ def serve_worker(
         if msg["op"] in ("ok", "wait"):
             if not busy and msg["op"] == "wait":
                 time.sleep(poll_s)
-            return not busy  # idle + nothing queued: let run() return; the
-            # outer loop keeps polling until 'done'
+            # busy: nothing more to pull right now, keep decoding (the active
+            # set keeps _run_loop alive). idle ('wait'): return True so the
+            # worker keeps polling from inside _run_loop at poll_s cadence
+            # until work or 'done' arrives.
+            return not busy
         # work
         if max_batches is not None and state["rounds"] >= max_batches:
             state["dead"] = True  # injected death: vanish holding the tickets
@@ -367,8 +406,15 @@ def serve_worker(
         _send(sock, {"op": "hello", "name": name})
         while not (state["done"] or state["dead"]):
             scheduler.events.clear()
-            scheduler._run_loop(intake=intake)
-            served += report_finished()
+            # _run_loop swaps out scheduler.finished on return — requests that
+            # retired after intake observed done/dead would otherwise vanish
+            # unreported; put them back and report best-effort
+            leftover = scheduler._run_loop(intake=intake)
+            scheduler.finished.extend(leftover)
+            try:
+                served += report_finished()
+            except OSError:
+                state["dead"] = True  # coordinator gone mid-report
             if state["done"] or state["dead"]:
                 break
             time.sleep(poll_s)

@@ -258,13 +258,14 @@ def flash_attention(
     # None = 2048x1024 default (measured fastest on v5e: d=64 s=131072 66.1
     # vs 63.1 TF/s for 1024^2; d=128 s=65536 120.6 vs 114.9 and s=131072
     # 131.4 vs 125.3 TF/s — +4.7-4.9%; 2048^2 and 4096x1024 VMEM-fail —
-    # scripts/sweep_flash_blocks.py, ROOFLINE §6) EXCEPT the d=128
-    # sliding-window variant, which stays at 1024^2: its extra mask term +
-    # post-exp correction push the 2048-q-block scoped-VMEM stack to 23.38M >
-    # the 16M limit (reproduced on-chip via scripts/tpu_kernel_parity.py —
-    # this is the failure round 4 attributed to d=128 generally; plain-causal
-    # d=128 compiles and wins at 2048). Fused window scoring requires square
-    # blocks; the wrapper clamps to min(bq, bk).
+    # scripts/sweep_flash_blocks.py, ROOFLINE §6) EXCEPT at d>64 for every
+    # variant that keeps the post-exp `where` correction (sliding window,
+    # pattern='full' ring chunks, non-square k_hi calls): those stay at
+    # 1024^2 — the correction + extra mask term push the 2048-q-block
+    # scoped-VMEM stack to 23.38M > the 16M limit, reproduced on-chip for
+    # BOTH the SWA (scripts/tpu_kernel_parity.py) and the 'full' d=128
+    # variants; plain-causal d=128 compiles and wins at 2048. Fused window
+    # scoring requires square blocks; the wrapper clamps to min(bq, bk).
     block_q: Optional[int] = None,
     block_k: Optional[int] = None,
     pattern: str = "causal",  # 'causal' (local diagonal skip) | 'full' (no skip;
@@ -292,15 +293,18 @@ def flash_attention(
     kh = k.shape[1]
     sk = k.shape[2]
     g = h // kh
+    causal_skip = pattern == "causal" and sk == s
     if block_q is None:
-        block_q = 1024 if (d > 64 and sliding_window is not None) else 2048
+        # the pure-causal layout drops the post-exp correction; every other
+        # variant keeps it and overflows scoped VMEM at d>64 with 2048 rows
+        pure = causal_skip and sliding_window is None
+        block_q = 2048 if (d <= 64 or pure) else 1024
     if block_k is None:
         block_k = 1024
     if k_positions is None:
         k_positions = positions
     if k_count is None:
         k_count = count
-    causal_skip = pattern == "causal" and sk == s
     block_q = min(block_q, s)
     block_k = min(block_k, sk)
     wp = 0

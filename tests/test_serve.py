@@ -216,7 +216,7 @@ def test_dispatch_hung_worker_lease_readmits(stack):
 
     prompts = stack[-1]
     ref = reference_tokens(stack)
-    coord = Coordinator(lease_s=0.6)
+    coord = Coordinator(lease_s=0.4)  # doubles per expiry (backoff)
     tids = [coord.submit(p, 8) for p in prompts]
     coord.seal()
 
@@ -243,7 +243,10 @@ def test_dispatch_hung_worker_lease_readmits(stack):
     t_ok.join(timeout=60)
     t_hung.join(timeout=60)
     coord.close()
-    assert any(r["readmissions"] > 0 for r in res), "lease expiry must re-admit"
+    # expiries track separately from death re-admissions: a slow-but-healthy
+    # ticket must not burn the poison-ticket cap
+    assert any(r["lease_expiries"] > 0 for r in res), "lease expiry must re-admit"
+    assert all(r["readmissions"] == 0 for r in res), res
     assert all(r["worker"] == "survivor" for r in res), [r["worker"] for r in res]
     for tid, want in zip(tids, ref):
         assert res[tid]["tokens"] == want
